@@ -207,6 +207,19 @@ register_params(
     )
 )
 
+# Single-limb tiny geometry (Q < 2^63): the centered W-CRT roundtrip oracle
+# (test_wcrt_roundtrip.cu) is only exactly invertible when the composed value
+# fits int64 — see ops/wcrt.py:forward_centered for the analysis.
+register_params(
+    GLParams(
+        name="tiny1",
+        n=8,
+        p=15,
+        moduli=generate_ntt_primes(1, 30, 8, 15),
+        delta=float(1 << 12),
+    )
+)
+
 # Tiny geometry for fast CPU tests: p=15=3*5 -> phi=8 lanes, n=8.
 register_params(
     GLParams(

@@ -74,6 +74,15 @@ def _dot_i8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _dot_i8_rhs(d: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """[B,M,X] x [B,K,X] -> [B,M,K] contracting the shared last axis."""
+    return jax.lax.dot_general(
+        d, t,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def modmatmul_chunked(table_chunks: jnp.ndarray,
                       data_chunks: jnp.ndarray,
                       q: jnp.ndarray,
@@ -129,6 +138,98 @@ def modmatmul(table: jnp.ndarray, data: jnp.ndarray,
         chunk_decompose(table, ct, chunk_bits),
         chunk_decompose(data, cd, chunk_bits),
         consts["q"], consts["qinv_neg"], consts["pow2r"], widen=widen)
+
+
+class BatchedModTransform:
+    """A fixed per-limb modular linear transform applied on the MXU.
+
+    Holds pre-chunked int8 copies of the transform tables T[l] (one matrix
+    per RNS limb), with limbs grouped into runs of equal chunk count so a
+    45-bit limb doesn't force 7x7 chunk products onto the 35-bit limbs.
+
+    side='left':  out[l, w, m] = sum_r T[l][w, r] * D[l, r, m]   (W-CRT)
+    side='right': out[l, m, k] = sum_x D[l, m, x] * T[l][k, x]   (X-NTT,
+                  contracting the trailing coefficient axis with no data
+                  transpose)
+    """
+
+    def __init__(self, tables_u64: np.ndarray, moduli: Sequence[int],
+                 side: str = "left", chunk_bits: int = CHUNK_BITS):
+        assert side in ("left", "right")
+        assert tables_u64.shape[0] == len(moduli)
+        self.side = side
+        self.chunk_bits = chunk_bits
+        # contraction length: T's trailing axis in both orientations
+        self.contract_len = tables_u64.shape[2]
+        bits = [int(q).bit_length() for q in moduli]
+        chunks = [num_chunks(b, chunk_bits) for b in bits]
+        # runs of equal chunk count over the limb axis
+        runs = []
+        start = 0
+        for i in range(1, len(moduli) + 1):
+            if i == len(moduli) or chunks[i] != chunks[start]:
+                runs.append((start, i, chunks[start]))
+                start = i
+        self._runs = []
+        for lo, hi, c in runs:
+            run_moduli = tuple(int(q) for q in moduli[lo:hi])
+            tbl = jnp.asarray(tables_u64[lo:hi])
+            self._runs.append({
+                "lo": lo, "hi": hi, "chunks": c,
+                "table_chunks": chunk_decompose(tbl, c, chunk_bits),
+                "consts": _matmul_consts(run_moduli, 2 * c - 1, chunk_bits),
+            })
+
+    def __call__(self, data: jnp.ndarray) -> jnp.ndarray:
+        """data: [L, R, M] (left) or [L, M, R] (right) uint64 -> same shape
+        with the transformed axis replaced by the table's output axis."""
+        outs = []
+        for run in self._runs:
+            d = data[run["lo"]:run["hi"]]
+            c = run["chunks"]
+            dch = chunk_decompose(d, c, self.chunk_bits)
+            widen = self.contract_len * (127 ** 2) * c >= (1 << 31)
+            outs.append(_apply_chunked(
+                run["table_chunks"], dch, run["consts"], self.side, widen))
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def chunked_dot_combine(tch, dch, dot_fn, consts, widen):
+    """Generic exact chunked product: dot_fn contracts one int8 table chunk
+    against one int8 data chunk; diagonals are folded mod q via Montgomery.
+
+    consts entries must broadcast against dot_fn's output shape."""
+    ct, cd = tch.shape[0], dch.shape[0]
+    n_diag = ct + cd - 1
+    diags = [None] * n_diag
+    for i in range(ct):
+        for j in range(cd):
+            p = dot_fn(tch[i], dch[j])
+            if widen:
+                p = p.astype(U64)
+            s = i + j
+            diags[s] = p if diags[s] is None else diags[s] + p
+    q = consts["q"]
+    qinv = consts["qinv_neg"]
+    pow2r = consts["pow2r"]
+    out = None
+    for s in range(n_diag):
+        d = diags[s] if widen else diags[s].astype(U64)
+        term = mont_mul(d, pow2r[s], q, qinv)
+        if out is None:
+            out = term
+        else:
+            t2 = out + term
+            out = jnp.where(t2 >= q, t2 - q, t2)
+    return out
+
+
+def _apply_chunked(tch, dch, consts, side, widen):
+    if side == "left":
+        dot_fn = lambda t, d: _dot_i8(t, d)  # noqa: E731
+    else:
+        dot_fn = lambda t, d: _dot_i8_rhs(d, t)  # noqa: E731
+    return chunked_dot_combine(tch, dch, dot_fn, consts, widen)
 
 
 def _matmul_consts(moduli: tuple, total_chunks: int, chunk_bits: int):

@@ -1,0 +1,124 @@
+"""W-axis transforms: mod-q W-CRT (Phi_p evaluation) and complex W-DFT.
+
+The reference evaluates/interpolates the W axis with one output element per
+thread and an O(phi) inner loop (wntt_forward_matrix_kernel HE.cu:716-747,
+wntt_inverse_matrix_kernel HE.cu:751-781, wdft_* HE.cu:1116-1202).  Here both
+directions are plain [phi x phi] @ [phi x M] matrix products:
+
+  * mod-q path: exact chunked int8 MXU matmuls (ops/modmatmul.py) against the
+    per-limb Vandermonde tables V[l] / V[l]^-1;
+  * complex path: float64 matmuls (XLA emulates f64 on TPU exactly enough —
+    53-bit mantissa — to reproduce the reference's double math).
+
+Canonical data layout here is limb-major [L, W, n, n] (the reference is
+W-major, HE.cuh:17-33); limb-major puts the modulus batch axis first for
+batched MXU dots and for zero-communication limb sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GLParams
+from ..tables import GLTables, build_tables
+from .crt import CRTComposer, centered_i64_to_rns
+from .modmatmul import BatchedModTransform
+
+
+class WTransform:
+    """Forward/inverse W-CRT over all RNS limbs + complex W-DFT."""
+
+    def __init__(self, params: GLParams, tables: GLTables | None = None):
+        self.params = params
+        t = tables or build_tables(params)
+        self.tables = t
+        self._fwd = BatchedModTransform(t.w_fwd, params.moduli, side="left")
+        self._inv = BatchedModTransform(t.w_inv, params.moduli, side="left")
+        # limb-0-only inverse for the centered test path (HE.cu:1101)
+        self._inv0 = BatchedModTransform(t.w_inv[:1], params.moduli[:1],
+                                         side="left")
+        self._composer = CRTComposer(t)
+        # complex tables as separate f64 re/im parts
+        self._dft_re = jnp.asarray(t.wdft.real)
+        self._dft_im = jnp.asarray(t.wdft.imag)
+        self._idft_re = jnp.asarray(t.wdft_inv.real)
+        self._idft_im = jnp.asarray(t.wdft_inv.imag)
+
+    # -- mod-q path ----------------------------------------------------------
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[L, W, ...] uint64 coeff -> eval (out[w] = sum_r V[w,r] x[r])."""
+        L, W = x.shape[0], x.shape[1]
+        flat = x.reshape(L, W, -1)
+        return self._fwd(flat).reshape(x.shape)
+
+    def inverse(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[L, W, ...] uint64 eval -> coeff (out[r] = sum_w V^-1[r,w] x[w])."""
+        L, W = x.shape[0], x.shape[1]
+        flat = x.reshape(L, W, -1)
+        return self._inv(flat).reshape(x.shape)
+
+    # -- centered-integer path (test oracles; HE.cu:1029-1114) ----------------
+
+    def forward_centered(self, x_centered: jnp.ndarray) -> jnp.ndarray:
+        """int64 [W, ...] coeff -> centered int64 eval via all limbs + exact
+        CRT compose (wntt_forward_centered_kernel, HE.cu:1029-1081), including
+        its int64 saturation semantics (he_big_to_i64_checked, HE.cu:904-915).
+
+        Fidelity note: per-limb eta roots are searched independently
+        (HE.cu:119-133), so the CRT-composed evaluation is a ~Q-sized integer
+        whenever num_limbs > 1; the reference kernel then *saturates* to
+        INT64_MAX/MIN, which breaks the limb-0 congruence that
+        wntt_inverse_centered (HE.cu:1083-1114, limb 0 only) relies on.  The
+        centered roundtrip oracle is therefore only exactly invertible when
+        Q < 2^63 (e.g. the single-limb "tiny1" preset); this port reproduces
+        the reference behavior bit-for-bit either way."""
+        rns = centered_i64_to_rns(x_centered, self.params.moduli)
+        ev = self.forward(rns)
+        return self._composer.compose_centered_i64(ev)
+
+    def inverse_centered(self, x_centered: jnp.ndarray) -> jnp.ndarray:
+        """int64 [W, ...] eval -> centered int64 coeff using limb 0 only
+        (wntt_inverse_centered_kernel, HE.cu:1083-1114)."""
+        q0 = int(self.params.moduli[0])
+        qq = jnp.int64(q0)
+        m = x_centered % qq
+        m = jnp.where(m < 0, m + qq, m).astype(jnp.uint64)
+        ev = self._inv0(m[None].reshape(1, x_centered.shape[0], -1))
+        ev = ev.reshape(x_centered.shape)
+        half = jnp.uint64(q0 >> 1)
+        centered = jnp.where(ev > half,
+                             ev.astype(jnp.int64) - qq, ev.astype(jnp.int64))
+        return centered
+
+    # -- complex path ----------------------------------------------------------
+
+    def _cmatmul(self, mr, mi, xr, xi) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Complex [W,W] @ [W,M] as four real f64 matmuls."""
+        yr = mr @ xr - mi @ xi
+        yi = mr @ xi + mi @ xr
+        return yr, yi
+
+    def dft_forward_pair(self, re, im) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """f64/int pair [W, ...] coeff -> eval (wdft_forward_pair_kernel)."""
+        shape = re.shape
+        xr = re.reshape(shape[0], -1).astype(jnp.float64)
+        xi = im.reshape(shape[0], -1).astype(jnp.float64)
+        yr, yi = self._cmatmul(self._dft_re, self._dft_im, xr, xi)
+        return yr.reshape(shape), yi.reshape(shape)
+
+    def dft_inverse_pair(self, re, im) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """f64 pair [W, ...] eval -> coeff (wdft_inverse_pair_kernel /
+        w_idft_kernel, batched_encoder.cu:104-123)."""
+        shape = re.shape
+        xr = re.reshape(shape[0], -1).astype(jnp.float64)
+        xi = im.reshape(shape[0], -1).astype(jnp.float64)
+        yr, yi = self._cmatmul(self._idft_re, self._idft_im, xr, xi)
+        return yr.reshape(shape), yi.reshape(shape)
+
+    @property
+    def composer(self) -> CRTComposer:
+        return self._composer
