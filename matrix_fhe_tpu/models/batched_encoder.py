@@ -1,0 +1,58 @@
+"""Batched encoder: 512 complex matrices -> W-CRT-eval packed plaintext.
+
+Port of BatchedEncoder::encode_to_wntt_eval (batched_encoder.cu:161-228) as a
+single fused, jittable function — the reference's 512-iteration host loop of
+per-lane idft2 (with per-call cudaMalloc) becomes one batched einsum:
+
+  1) per-lane XY-IDFT (V^-1 M V^-T)               [W, n, n] complex
+  2) complex W-IDFT along the W axis               (w_idft_kernel)
+  3) scale by Delta, llround, split into RNS       (quantize_coeff_to_rns)
+  4) mod-q W-CRT forward to evaluation layout      (wntt_forward_matrix)
+
+Canonical output layout is limb-major [L, W, n, n] (the reference emits
+W-major [W][L][n^2]; see ops/wcrt.py for the layout rationale).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..config import GLParams
+from ..tables import GLTables, build_tables
+from ..ops.wcrt import WTransform
+from .encoder import Encoder
+
+
+class BatchedEncoder:
+    def __init__(self, params: GLParams, tables: GLTables | None = None,
+                 wt: WTransform | None = None):
+        t = tables or build_tables(params)
+        self.params = params
+        self.encoder = Encoder(params, t)
+        self.wt = wt or WTransform(params, t)
+
+    def encode_to_wntt_eval(self, m_re: jnp.ndarray, m_im: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[W, n, n] f64 pair -> ([L, W, n, n] u64, [L, W, n, n] u64)."""
+        xr, xi = self.encoder.idft2(m_re, m_im)              # XY-IDFT per lane
+        cr, ci = self.wt.dft_inverse_pair(xr, xi)            # W-IDFT (complex)
+        rr, ri = self.encoder.quantize(cr, ci)               # scale+round+RNS
+        return self.wt.forward(rr), self.wt.forward(ri)      # mod-q W-NTT
+
+    def decode_from_wntt_eval(self, ev_re: jnp.ndarray, ev_im: jnp.ndarray
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Inverse of encode_to_wntt_eval (the plaintext half of
+        decode_eval_pair_to_complex, HE.cu:1619-1689): W-CRT inverse, exact
+        CRT compose / Delta, complex W-DFT, per-lane XY decode."""
+        cr = self.wt.inverse(ev_re)
+        ci = self.wt.inverse(ev_im)
+        fr, fi = self.encoder.dequantize_exact(cr, ci)       # [W, n, n] f64
+        er, ei = self.wt.dft_forward_pair(fr, fi)
+        return self.encoder.dft2(er, ei)
+
+    def unpack_eval(self, ev_re, ev_im):
+        """Identity passthrough (unpack_eval_p17 degenerated to a copy,
+        batched_encoder.cu:230-243)."""
+        return ev_re, ev_im

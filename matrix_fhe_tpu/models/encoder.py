@@ -1,0 +1,95 @@
+"""Single-lane sigma-embedding encoder (CKKS-style, power-of-5 Vandermonde).
+
+Port of the reference Encoder (src/core/encoder.cu:329-501): a 64x64 complex
+message matrix is mapped to XY-coefficient space by V^-1 @ M @ V^-T where
+V[j][k] = zeta_4n^(5^j * k), then scaled by Delta and split into RNS.
+
+TPU-first: all lanes are batched with einsum over the leading W axis instead
+of the reference's per-lane host loop with per-call cudaMalloc
+(batched_encoder.cu:192-196, HE.cu:1675-1679); float64 (emulated on TPU)
+reproduces the reference's double math.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GLParams
+from ..tables import GLTables, build_tables
+from ..ops.crt import CRTComposer
+from .rng import llround
+
+F64 = jnp.float64
+
+
+def _cm(ar, ai, br, bi) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex matmul over trailing two dims with leading batch: a @ b."""
+    rr = jnp.einsum("...ij,...jk->...ik", ar, br) - \
+        jnp.einsum("...ij,...jk->...ik", ai, bi)
+    ri = jnp.einsum("...ij,...jk->...ik", ar, bi) + \
+        jnp.einsum("...ij,...jk->...ik", ai, br)
+    return rr, ri
+
+
+class Encoder:
+    """sigma-embedding over one (or a batch of) n x n complex matrices."""
+
+    def __init__(self, params: GLParams, tables: GLTables | None = None):
+        self.params = params
+        t = tables or build_tables(params)
+        self.tables = t
+        self._v_re = jnp.asarray(t.enc_v.real)
+        self._v_im = jnp.asarray(t.enc_v.imag)
+        self._vi_re = jnp.asarray(t.enc_v_inv.real)
+        self._vi_im = jnp.asarray(t.enc_v_inv.imag)
+        self._composer = CRTComposer(t)
+
+    # -- complex transforms (batch over leading dims) -------------------------
+
+    def idft2(self, m_re, m_im) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """V^-1 @ M @ (V^-1)^T  (encoder.cu:460-467)."""
+        tr, ti = _cm(self._vi_re, self._vi_im, m_re.astype(F64), m_im.astype(F64))
+        return _cm(tr, ti, self._vi_re.T, self._vi_im.T)
+
+    def dft2(self, e_re, e_im) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """V @ E @ V^T  (decode_from_eval_complex, encoder.cu:492-501)."""
+        tr, ti = _cm(self._v_re, self._v_im, e_re.astype(F64), e_im.astype(F64))
+        return _cm(tr, ti, self._v_re.T, self._v_im.T)
+
+    # -- quantize / RNS ---------------------------------------------------------
+
+    def quantize(self, c_re, c_im) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """llround(x * Delta) split into RNS limbs: [..., n, n] f64 ->
+        [L, ..., n, n] uint64 (quantize_soa_kernel, encoder.cu:36-50)."""
+        delta = np.float64(self.params.delta)
+        ir = llround(c_re * delta)
+        ii = llround(c_im * delta)
+        outs_r, outs_i = [], []
+        for q in self.params.moduli:
+            qq = jnp.int64(int(q))
+            mr = ir % qq
+            mi = ii % qq
+            outs_r.append(jnp.where(mr < 0, mr + qq, mr).astype(jnp.uint64))
+            outs_i.append(jnp.where(mi < 0, mi + qq, mi).astype(jnp.uint64))
+        return jnp.stack(outs_r), jnp.stack(outs_i)
+
+    def encode(self, m_re, m_im):
+        """Full lane encode: complex matrix -> RNS pair in XY-eval basis
+        (Encoder::encode, encoder.cu:446-458)."""
+        cr, ci = self.idft2(m_re, m_im)
+        return self.quantize(cr, ci)
+
+    def dequantize_exact(self, rns_re, rns_im):
+        """Exact big-int CRT -> f64 / Delta (dequantize_exact_kernel,
+        encoder.cu:112-150); inputs [L, ..., n, n]."""
+        d = self.params.delta
+        return (self._composer.compose_to_float(rns_re, d),
+                self._composer.compose_to_float(rns_im, d))
+
+    def decode_lane_from_rns_eval(self, rns_re, rns_im):
+        """encoder.cu:470-490: exact dequantize then V E V^T."""
+        er, ei = self.dequantize_exact(rns_re, rns_im)
+        return self.dft2(er, ei)

@@ -1,0 +1,251 @@
+"""RLWE Matrix-FHE scheme core (keygen / encrypt / decrypt / add / mul).
+
+Port of src/core/HE.cu's host API (HE.cuh:51-112) as pure jitted JAX
+functions over ciphertext pytrees:
+
+  * generate_secret_key (HE.cu:1272-1307): ternary s in W-coeff ->
+    W-CRT eval -> X-NTT; stored in Montgomery form so the pointwise
+    a (*) s products are single REDCs.
+  * encrypt / encrypt_pair (HE.cu:1370-1552): a ~ U (reference LCG) in
+    W-coeff -> W-eval -> X-NTT; e ~ discrete Gaussian -> W-eval;
+    t = iNTT_X(NTT_X(a) (*) s); b = m - t + e.  Ciphertext stores (b, a) in
+    W-eval / X-coeff domain, exactly like the reference — NTT-internal
+    ordering never reaches stored data, so exact integer convolution
+    semantics gives bit-exact parity.
+  * decrypt_to_eval (HE.cu:1553-1601): m' = b + iNTT_X(NTT_X(a) (*) s).
+  * decrypt_and_decode (HE.cu:1619-1708): W-CRT inverse -> exact big-int CRT
+    compose / Delta -> complex W-DFT -> per-lane sigma decode.
+  * add_ciphertexts / multiply_ciphertexts_raw (HE.cu:631-669,1710-1740).
+
+Layout: limb-major [L, W, n, n] uint64 (reference is W-major, HE.cuh:17-33).
+Debug hooks mirrored from HE.cu:25-26: `ring` selects the X-axis ring
+(kDbgUsePhantomXY: "nega" = phantom X^n+1 production path, "gl" = X^n=i) and
+`zero_noise` mirrors kDbgZeroNoise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GLParams, get_params
+from ..tables import build_tables
+from ..ops import modmath as mm
+from ..ops.ntt import XNTT, RING_NEGACYCLIC
+from ..ops.wcrt import WTransform
+from .batched_encoder import BatchedEncoder
+from . import rng as refrng
+
+U64 = jnp.uint64
+
+
+class Ciphertext(NamedTuple):
+    """(b, a) pair, W-CRT-eval / X-coeff domain, limb-major [L, W, n, n]."""
+    b: jnp.ndarray
+    a: jnp.ndarray
+
+
+class SecretKey(NamedTuple):
+    """s in X-NTT x W-eval domain, Montgomery form, [L, W, n]."""
+    s_mont: jnp.ndarray
+
+
+class HEContext:
+    """All tables, transforms and jitted pipelines for one parameter set.
+
+    The reference equivalent is the init_he_backend() global singleton
+    (HE.cu:318-408); here it is an explicit object so multiple parameter sets
+    coexist and everything stays functionally pure under jit.
+    """
+
+    def __init__(self, params: GLParams, ring: str = RING_NEGACYCLIC,
+                 zero_noise: bool = False):
+        self.params = params
+        self.ring = ring
+        self.zero_noise = zero_noise
+        self.tables = build_tables(params)
+        self.wt = WTransform(params, self.tables)
+        self.xntt = XNTT(params, ring=ring, tables=self.tables)
+        self.batched_encoder = BatchedEncoder(params, self.tables, self.wt)
+        self.encoder = self.batched_encoder.encoder
+        # per-limb Montgomery constants broadcastable over [L, W, n, n]
+        self._c4 = mm.mont_consts_arrays(params.moduli, shape_suffix=(1, 1, 1))
+        self._c3 = mm.mont_consts_arrays(params.moduli, shape_suffix=(1, 1))
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _pointwise_mul_s(self, a_ntt: jnp.ndarray, s_mont: jnp.ndarray
+                         ) -> jnp.ndarray:
+        """t = a (*) s in X-NTT domain (pointwise_mul_s_kernel, HE.cu:509-531);
+        s broadcasts over the y axis."""
+        c = self._c4
+        return mm.mont_mul(a_ntt, s_mont[:, :, None, :], c["q"], c["qinv_neg"])
+
+    def _to_mont4(self, x):
+        c = self._c4
+        return mm.to_mont(x, c["q"], c["qinv_neg"], c["r2"])
+
+    # -- key generation ---------------------------------------------------------
+
+    @functools.cached_property
+    def _keygen_jit(self):
+        def keygen(_):
+            s_coeff = refrng.ternary_secret(self.params)      # [L, W, n]
+            s_eval = self.wt.forward(s_coeff)                  # W-CRT eval
+            s_ntt = self.xntt.forward(s_eval)                  # X-NTT
+            c = self._c3
+            return SecretKey(mm.to_mont(s_ntt, c["q"], c["qinv_neg"], c["r2"]))
+        return jax.jit(keygen)
+
+    def generate_secret_key(self, key: Optional[jax.Array] = None) -> SecretKey:
+        """Deterministic reference-parity key (HE.cu:1272-1307); pass a
+        jax.random key for fresh threefry-based key material instead."""
+        if key is None:
+            return self._keygen_jit(0)
+        s_coeff = refrng.fresh_ternary_secret(key, self.params)
+        s_ntt = self.xntt.forward(self.wt.forward(s_coeff))
+        c = self._c3
+        return SecretKey(mm.to_mont(s_ntt, c["q"], c["qinv_neg"], c["r2"]))
+
+    # -- encrypt -----------------------------------------------------------------
+
+    def _encrypt_core(self, msgs, sk: SecretKey, a_coeff, noises):
+        """Shared-`a` encryption of one or more packed messages
+        (encrypt_pair, HE.cu:1455-1552)."""
+        c = self._c4
+        a_eval = self.wt.forward(a_coeff)
+        a_ntt = self.xntt.forward(a_eval)
+        t_ntt = self._pointwise_mul_s(a_ntt, sk.s_mont)
+        t = self.xntt.inverse(t_ntt)
+        cts = []
+        for m, e_coeff in zip(msgs, noises):
+            if self.zero_noise:
+                e_eval = jnp.zeros_like(m)
+            else:
+                e_eval = self.wt.forward(e_coeff)
+            b = mm.add_mod(mm.sub_mod(m, t, c["q"]), e_eval, c["q"])
+            cts.append(Ciphertext(b=b, a=a_eval))
+        return tuple(cts)
+
+    @functools.cached_property
+    def _encrypt_pair_jit(self):
+        def f(m_re, m_im, sk):
+            a_coeff = refrng.uniform_a(self.params)
+            e = refrng.gaussian_noise(self.params)
+            # independent errors: the reference calls the same deterministic
+            # kernel twice, so e_re == e_im there as well (HE.cu:1516-1517)
+            return self._encrypt_core((m_re, m_im), sk, a_coeff, (e, e))
+        return jax.jit(f)
+
+    def encrypt_pair(self, m_re, m_im, sk: SecretKey,
+                     key: Optional[jax.Array] = None
+                     ) -> Tuple[Ciphertext, Ciphertext]:
+        """Encrypt a packed complex pair sharing one `a` (HE.cuh:91-92)."""
+        if key is None:
+            return self._encrypt_pair_jit(m_re, m_im, sk)
+        ka, k1, k2 = jax.random.split(key, 3)
+        a_coeff = refrng.fresh_uniform_a(ka, self.params)
+        noises = (refrng.fresh_gaussian_noise(k1, self.params),
+                  refrng.fresh_gaussian_noise(k2, self.params))
+        return self._encrypt_core((m_re, m_im), sk, a_coeff, noises)
+
+    @functools.cached_property
+    def _encrypt_jit(self):
+        def f(m, sk):
+            a_coeff = refrng.uniform_a(self.params)
+            e = refrng.gaussian_noise(self.params)
+            return self._encrypt_core((m,), sk, a_coeff, (e,))[0]
+        return jax.jit(f)
+
+    def encrypt(self, m, sk: SecretKey) -> Ciphertext:
+        """Single-message encrypt (HE.cu:1370-1453)."""
+        return self._encrypt_jit(m, sk)
+
+    # -- decrypt -----------------------------------------------------------------
+
+    @functools.cached_property
+    def _decrypt_to_eval_jit(self):
+        def f(ct: Ciphertext, sk: SecretKey):
+            c = self._c4
+            a_ntt = self.xntt.forward(ct.a)
+            t = self.xntt.inverse(self._pointwise_mul_s(a_ntt, sk.s_mont))
+            return mm.add_mod(ct.b, t, c["q"])
+        return jax.jit(f)
+
+    def decrypt_to_eval(self, ct: Ciphertext, sk: SecretKey) -> jnp.ndarray:
+        """b + a*s in W-eval / X-coeff domain (HE.cu:1553-1601)."""
+        return self._decrypt_to_eval_jit(ct, sk)
+
+    @functools.cached_property
+    def _decrypt_and_decode_jit(self):
+        def f(ct_re: Ciphertext, ct_im: Ciphertext, sk: SecretKey):
+            ev_re = self._decrypt_to_eval_jit(ct_re, sk)
+            ev_im = self._decrypt_to_eval_jit(ct_im, sk)
+            return self.batched_encoder.decode_from_wntt_eval(ev_re, ev_im)
+        return jax.jit(f)
+
+    def decrypt_and_decode(self, ct_re: Ciphertext, ct_im: Ciphertext,
+                           sk: SecretKey) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Full decode to complex matrices [W, n, n] (HE.cu:1691-1708)."""
+        return self._decrypt_and_decode_jit(ct_re, ct_im, sk)
+
+    # -- homomorphic ops -----------------------------------------------------------
+
+    @functools.cached_property
+    def _add_jit(self):
+        def f(ct1: Ciphertext, ct2: Ciphertext):
+            c = self._c4
+            return Ciphertext(b=mm.add_mod(ct1.b, ct2.b, c["q"]),
+                              a=mm.add_mod(ct1.a, ct2.a, c["q"]))
+        return jax.jit(f)
+
+    def add_ciphertexts(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        """Pointwise addition (add_ct_kernel, HE.cu:631-644)."""
+        return self._add_jit(ct1, ct2)
+
+    @functools.cached_property
+    def _mul_raw_jit(self):
+        def f(ct1: Ciphertext, ct2: Ciphertext):
+            c = self._c4
+            q, qi = c["q"], c["qinv_neg"]
+            b1m = self._to_mont4(ct1.b)
+            a1m = self._to_mont4(ct1.a)
+            d0 = mm.mont_mul(b1m, ct2.b, q, qi)
+            d1 = mm.add_mod(mm.mont_mul(b1m, ct2.a, q, qi),
+                            mm.mont_mul(a1m, ct2.b, q, qi), q)
+            d2 = mm.mont_mul(a1m, ct2.a, q, qi)
+            return d0, d1, d2
+        return jax.jit(f)
+
+    def multiply_ciphertexts_raw(self, ct1: Ciphertext, ct2: Ciphertext):
+        """Tensor product (d0, d1, d2) = (b1b2, b1a2+a1b2, a1a2) — no
+        relinearization/rescale exists in the reference either
+        (mul_tensor_kernel, HE.cu:647-669)."""
+        return self._mul_raw_jit(ct1, ct2)
+
+    # -- convenience ------------------------------------------------------------
+
+    @functools.cached_property
+    def _roundtrip_jit(self):
+        def f(m_re, m_im, sk):
+            pr, pi = self.batched_encoder.encode_to_wntt_eval(m_re, m_im)
+            ct_re, ct_im = self._encrypt_pair_jit(pr, pi, sk)
+            return self._decrypt_and_decode_jit(ct_re, ct_im, sk)
+        return jax.jit(f)
+
+    def roundtrip(self, m_re, m_im, sk: SecretKey):
+        """encode -> encrypt -> decrypt -> decode, one fused jit
+        (src/main.cu:31-157 pipeline)."""
+        return self._roundtrip_jit(m_re, m_im, sk)
+
+
+@functools.lru_cache(maxsize=None)
+def init_he_backend(params_name: str = "ref", ring: str = RING_NEGACYCLIC,
+                    zero_noise: bool = False) -> HEContext:
+    """Reference-style singleton constructor (init_he_backend, HE.cu:318)."""
+    return HEContext(get_params(params_name), ring=ring, zero_noise=zero_noise)

@@ -1,0 +1,141 @@
+"""Deterministic on-device randomness, bit-compatible with the reference.
+
+The reference uses counter-based integer hashes so runs are reproducible
+without seed plumbing (SURVEY §4):
+  * uniform `a`: LCG of (123456789 + flat_index), flat index taken over the
+    reference's matrix-major [W][L][y][x] layout (uniform_random_kernel,
+    HE.cu:564-578);
+  * ternary secret: weyl-style hash of (w, x) mapped to {0, +1, -1}
+    (ternary_secret_kernel, HE.cu:690-713);
+  * Gaussian noise sigma=3.2: splitmix64 -> Box-Muller -> llround, same
+    integer in every limb (gaussian_noise_kernel, HE.cu:581-627).
+
+All streams are pure integer (or integer-rounded) functions of position, so
+zero-noise golden-vector parity with the CUDA reference is exact; the
+Gaussian path additionally matches in f64 (XLA's emulated f64 log/cos/sqrt
+agree with CUDA's to the ulp for these magnitudes — and any ulp flip only
+perturbs noise by ±1, which the scheme absorbs by design).
+
+A production-grade jax.random (threefry) path is provided alongside for real
+deployments (`fresh_*` functions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GLParams
+
+U64 = jnp.uint64
+
+
+def _iota4(params: GLParams):
+    """Broadcasted index arrays (l, w, y, x) for shape [L, W, n, n]."""
+    L, W, n = params.num_limbs, params.phi, params.n
+    l = jax.lax.broadcasted_iota(U64, (L, W, n, n), 0)
+    w = jax.lax.broadcasted_iota(U64, (L, W, n, n), 1)
+    y = jax.lax.broadcasted_iota(U64, (L, W, n, n), 2)
+    x = jax.lax.broadcasted_iota(U64, (L, W, n, n), 3)
+    return l, w, y, x
+
+
+def _moduli_col(params: GLParams, extra_dims: int) -> jnp.ndarray:
+    q = np.array(params.moduli, dtype=np.uint64)
+    return jnp.asarray(q.reshape((len(q),) + (1,) * extra_dims))
+
+
+def uniform_a(params: GLParams) -> jnp.ndarray:
+    """Reference-exact uniform polynomial in W-coeff domain, [L, W, n, n].
+
+    Bit-for-bit port of uniform_random_kernel (HE.cu:564-578): the LCG seed is
+    the flat index in the reference's [W][L][y][x] layout.
+    """
+    L, n = params.num_limbs, params.n
+    l, w, y, x = _iota4(params)
+    idx_ref = ((w * np.uint64(L) + l) * np.uint64(n * n)
+               + y * np.uint64(n) + x)
+    seed = np.uint64(123456789) + idx_ref
+    seed = seed * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+    return seed % _moduli_col(params, 3)
+
+
+def ternary_secret(params: GLParams) -> jnp.ndarray:
+    """Reference-exact ternary secret in W-coeff domain, [L, W, n]
+    (ternary_secret_kernel, HE.cu:690-713): value depends on (w, x) only and
+    is mapped into every limb; 0 -> 0, 1 -> 1, 2 -> q-1."""
+    L, W, n = params.num_limbs, params.phi, params.n
+    w = jax.lax.broadcasted_iota(U64, (L, W, n), 1)
+    x = jax.lax.broadcasted_iota(U64, (L, W, n), 2)
+    t = w * np.uint64(1315423911) + x * np.uint64(2654435761)
+    r = (t * np.uint64(11400714819323198485)) % np.uint64(3)
+    q = _moduli_col(params, 2)
+    return jnp.where(r == 0, jnp.zeros((), U64),
+                     jnp.where(r == 1, jnp.ones((), U64), q - np.uint64(1)))
+
+
+def splitmix64(x: jnp.ndarray) -> jnp.ndarray:
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def gaussian_noise(params: GLParams) -> jnp.ndarray:
+    """Discrete Gaussian (sigma, Box-Muller, llround) in W-coeff domain,
+    [L, W, n, n]; the same integer is mapped into every limb
+    (gaussian_noise_kernel, HE.cu:581-627)."""
+    L, W, n = params.num_limbs, params.phi, params.n
+    w = jax.lax.broadcasted_iota(U64, (W, n, n), 0)
+    y = jax.lax.broadcasted_iota(U64, (W, n, n), 1)
+    x = jax.lax.broadcasted_iota(U64, (W, n, n), 2)
+    coeff_id = w * np.uint64(n * n) + y * np.uint64(n) + x
+    seed = np.uint64(0xD6E8FEB86659FD93) ^ coeff_id
+    r1 = splitmix64(seed)
+    r2 = splitmix64(r1)
+    inv53 = np.float64(1.0 / 9007199254740992.0)  # 2^-53
+    u1 = ((r1 >> np.uint64(11)).astype(jnp.float64) + 1.0) * inv53
+    u2 = ((r2 >> np.uint64(11)).astype(jnp.float64) + 1.0) * inv53
+    mag = params.sigma * jnp.sqrt(-2.0 * jnp.log(u1))
+    z = mag * jnp.cos(np.float64(6.283185307179586) * u2)
+    noise = llround(z)  # [W, n, n] int64
+    q = _moduli_col(params, 3)
+    pos = noise[None].astype(U64)
+    neg = q - (-noise)[None].astype(U64)
+    return jnp.where(noise[None] >= 0, pos, neg)
+
+
+def llround(z: jnp.ndarray) -> jnp.ndarray:
+    """C llround: round half away from zero -> int64 (jnp.round would round
+    half to even)."""
+    return jnp.where(z >= 0, jnp.floor(z + 0.5), jnp.ceil(z - 0.5)
+                     ).astype(jnp.int64)
+
+
+# ---------------------------------------------------------------------------
+# Production path: proper counter-based PRNG (threefry) for real key material
+# ---------------------------------------------------------------------------
+
+def fresh_uniform_a(key: jax.Array, params: GLParams) -> jnp.ndarray:
+    L, W, n = params.num_limbs, params.phi, params.n
+    bits = jax.random.bits(key, (L, W, n, n), dtype=jnp.uint64)
+    return bits % _moduli_col(params, 3)  # negligible bias for q << 2^64
+
+
+def fresh_ternary_secret(key: jax.Array, params: GLParams) -> jnp.ndarray:
+    W, n = params.phi, params.n
+    r = jax.random.randint(key, (W, n), 0, 3)
+    q = _moduli_col(params, 2)
+    r = jnp.broadcast_to(r[None], (params.num_limbs, W, n))
+    return jnp.where(r == 0, jnp.zeros((), U64),
+                     jnp.where(r == 1, jnp.ones((), U64), q - np.uint64(1)))
+
+
+def fresh_gaussian_noise(key: jax.Array, params: GLParams) -> jnp.ndarray:
+    W, n = params.phi, params.n
+    z = jax.random.normal(key, (W, n, n), dtype=jnp.float64) * params.sigma
+    noise = llround(z)
+    q = _moduli_col(params, 3)
+    return jnp.where(noise[None] >= 0, noise[None].astype(U64),
+                     q - (-noise)[None].astype(U64))

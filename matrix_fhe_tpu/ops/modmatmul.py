@@ -140,6 +140,19 @@ def modmatmul(table: jnp.ndarray, data: jnp.ndarray,
         consts["q"], consts["qinv_neg"], consts["pow2r"], widen=widen)
 
 
+def limb_runs(moduli: Sequence[int], chunk_bits: int = CHUNK_BITS):
+    """Contiguous runs of limbs with equal chunk count: [(lo, hi, chunks)]."""
+    bits = [int(q).bit_length() for q in moduli]
+    chunks = [num_chunks(b, chunk_bits) for b in bits]
+    runs = []
+    start = 0
+    for i in range(1, len(moduli) + 1):
+        if i == len(moduli) or chunks[i] != chunks[start]:
+            runs.append((start, i, chunks[start]))
+            start = i
+    return runs
+
+
 class BatchedModTransform:
     """A fixed per-limb modular linear transform applied on the MXU.
 
@@ -161,15 +174,7 @@ class BatchedModTransform:
         self.chunk_bits = chunk_bits
         # contraction length: T's trailing axis in both orientations
         self.contract_len = tables_u64.shape[2]
-        bits = [int(q).bit_length() for q in moduli]
-        chunks = [num_chunks(b, chunk_bits) for b in bits]
-        # runs of equal chunk count over the limb axis
-        runs = []
-        start = 0
-        for i in range(1, len(moduli) + 1):
-            if i == len(moduli) or chunks[i] != chunks[start]:
-                runs.append((start, i, chunks[start]))
-                start = i
+        runs = limb_runs(moduli, chunk_bits)
         self._runs = []
         for lo, hi, c in runs:
             run_moduli = tuple(int(q) for q in moduli[lo:hi])

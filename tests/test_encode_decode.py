@@ -1,0 +1,71 @@
+"""Encode -> decode loopback through the full decode machinery without
+encryption — the zero-key isolation oracle of test_encode_decode_wcrt.cu:29-116
+(sk = 0 and ct.a = 0 make decrypt the identity there; here we feed the packed
+plaintext straight into the decode half)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from matrix_fhe_tpu.config import get_params
+from matrix_fhe_tpu.models.batched_encoder import BatchedEncoder
+from matrix_fhe_tpu.models.encoder import Encoder
+
+
+@pytest.fixture(scope="module", params=["tiny", "small"])
+def be(request):
+    return BatchedEncoder(get_params(request.param))
+
+
+def _test_message(p, scale=1.0):
+    n2 = p.n * p.n
+    ell = np.arange(p.phi)[:, None].astype(np.float64)
+    i = np.arange(n2)[None, :].astype(np.float64)
+    re = (ell + i * 0.0001) * scale
+    im = (ell - i * 0.0001) * scale
+    return (re.reshape(p.phi, p.n, p.n), im.reshape(p.phi, p.n, p.n))
+
+
+def test_batched_encode_decode_loopback(be):
+    p = be.params
+    re, im = _test_message(p)
+    pr, pi = be.encode_to_wntt_eval(jnp.asarray(re), jnp.asarray(im))
+    assert pr.shape == (p.num_limbs, p.phi, p.n, p.n)
+    dr, di = be.decode_from_wntt_eval(pr, pi)
+    # threshold mirrors test_encode_decode_wcrt.cu:115 (1e-3), scaled to the
+    # tiny preset's smaller Delta
+    tol = 1e-3 if p.delta >= 2**30 else 0.35
+    err = np.hypot(np.asarray(dr) - re, np.asarray(di) - im).max()
+    assert err < tol, err
+
+
+def test_lane_encoder_roundtrip():
+    p = get_params("tiny")
+    enc = Encoder(p)
+    rng = np.random.default_rng(5)
+    re = rng.uniform(-3, 3, size=(p.n, p.n))
+    im = rng.uniform(-3, 3, size=(p.n, p.n))
+    rr, ri = enc.encode(jnp.asarray(re), jnp.asarray(im))
+    dr, di = enc.decode_lane_from_rns_eval(rr, ri)
+    err = np.hypot(np.asarray(dr) - re, np.asarray(di) - im).max()
+    assert err < 0.05, err  # Delta = 2^12 on tiny
+
+
+def test_encoder_matrices_are_inverse():
+    p = get_params("small")
+    enc = Encoder(p)
+    v = np.asarray(enc.tables.enc_v)
+    vi = np.asarray(enc.tables.enc_v_inv)
+    assert np.abs(v @ vi - np.eye(p.n)).max() < 1e-10
+
+
+def test_idft2_dft2_roundtrip():
+    p = get_params("small")
+    enc = Encoder(p)
+    rng = np.random.default_rng(6)
+    re = rng.uniform(-2, 2, size=(3, p.n, p.n))
+    im = rng.uniform(-2, 2, size=(3, p.n, p.n))
+    cr, ci = enc.idft2(jnp.asarray(re), jnp.asarray(im))
+    br, bi = enc.dft2(cr, ci)
+    assert np.abs(np.asarray(br) - re).max() < 1e-9
+    assert np.abs(np.asarray(bi) - im).max() < 1e-9
