@@ -170,12 +170,7 @@ class HEContext:
 
     @functools.cached_property
     def _decrypt_to_eval_jit(self):
-        def f(ct: Ciphertext, sk: SecretKey):
-            c = self._c4
-            a_ntt = self.xntt.forward(ct.a)
-            t = self.xntt.inverse(self._pointwise_mul_s(a_ntt, sk.s_mont))
-            return mm.add_mod(ct.b, t, c["q"])
-        return jax.jit(f)
+        return jax.jit(self._decrypt_fn)
 
     def decrypt_to_eval(self, ct: Ciphertext, sk: SecretKey) -> jnp.ndarray:
         """b + a*s in W-eval / X-coeff domain (HE.cu:1553-1601)."""
@@ -230,13 +225,26 @@ class HEContext:
 
     # -- convenience ------------------------------------------------------------
 
+    def roundtrip_fn(self, m_re, m_im, sk: SecretKey):
+        """Pure (un-jitted) full pipeline, for composition under vmap /
+        sharding annotations (parallel/pipeline.py)."""
+        pr, pi = self.batched_encoder.encode_to_wntt_eval(m_re, m_im)
+        a_coeff = refrng.uniform_a(self.params)
+        e = refrng.gaussian_noise(self.params)
+        ct_re, ct_im = self._encrypt_core((pr, pi), sk, a_coeff, (e, e))
+        ev_re = self._decrypt_fn(ct_re, sk)
+        ev_im = self._decrypt_fn(ct_im, sk)
+        return self.batched_encoder.decode_from_wntt_eval(ev_re, ev_im)
+
+    def _decrypt_fn(self, ct: Ciphertext, sk: SecretKey):
+        c = self._c4
+        a_ntt = self.xntt.forward(ct.a)
+        t = self.xntt.inverse(self._pointwise_mul_s(a_ntt, sk.s_mont))
+        return mm.add_mod(ct.b, t, c["q"])
+
     @functools.cached_property
     def _roundtrip_jit(self):
-        def f(m_re, m_im, sk):
-            pr, pi = self.batched_encoder.encode_to_wntt_eval(m_re, m_im)
-            ct_re, ct_im = self._encrypt_pair_jit(pr, pi, sk)
-            return self._decrypt_and_decode_jit(ct_re, ct_im, sk)
-        return jax.jit(f)
+        return jax.jit(self.roundtrip_fn)
 
     def roundtrip(self, m_re, m_im, sk: SecretKey):
         """encode -> encrypt -> decrypt -> decode, one fused jit

@@ -1,0 +1,65 @@
+"""Multi-device validation on the virtual 8-CPU mesh:
+
+  * coefficient-sharded four-step NTT == single-device result, bit-exact
+  * dp x tp sharded full pipeline == unsharded pipeline
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from matrix_fhe_tpu.config import get_params
+from matrix_fhe_tpu.models.he import HEContext
+from matrix_fhe_tpu.ops.ntt_large import (FourStepNTT, FourStepPlan,
+                                          generate_primes_1mod)
+from matrix_fhe_tpu.parallel import mesh as meshlib
+from matrix_fhe_tpu.parallel.dist_ntt import DistFourStepNTT
+from matrix_fhe_tpu.parallel.pipeline import ShardedPipeline
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dist_ntt_matches_single_device(rng):
+    primes = generate_primes_1mod(2, 35, 1 << 11)
+    plan = FourStepPlan.make(1024, primes, negacyclic=True)
+    mesh = meshlib.make_mesh({"coeff": 8})
+    dist = DistFourStepNTT(plan, mesh)
+    single = FourStepNTT(plan)
+    x = np.stack([rng.integers(0, q, size=(2, 1024), dtype=np.uint64)
+                  for q in primes])
+    xj = jnp.asarray(x)
+    f_dist = np.asarray(dist.forward(xj))
+    f_single = np.asarray(single.forward(xj))
+    assert (f_dist == f_single).all()
+    back = np.asarray(dist.inverse(jnp.asarray(f_dist)))
+    assert (back == x).all()
+
+
+def test_sharded_pipeline_matches_unsharded():
+    p = get_params("tiny")  # W = 8 lanes -> tp=4 shards of 2
+    ctx = HEContext(p)
+    sk = ctx.generate_secret_key()
+    mesh = meshlib.make_mesh({"dp": 2, "tp": 4})
+    sp = ShardedPipeline(ctx, mesh)
+    rng = np.random.default_rng(21)
+    B = 4
+    re = rng.uniform(-2, 2, size=(B, p.phi, p.n, p.n))
+    im = rng.uniform(-2, 2, size=(B, p.phi, p.n, p.n))
+    dr, di = sp.roundtrip(jnp.asarray(re), jnp.asarray(im), sk)
+    # unsharded single-message reference
+    dr0, di0 = ctx.roundtrip(jnp.asarray(re[0]), jnp.asarray(im[0]), sk)
+    np.testing.assert_allclose(np.asarray(dr)[0], np.asarray(dr0),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(di)[0], np.asarray(di0),
+                               rtol=0, atol=1e-9)
+    err = np.hypot(np.asarray(dr) - re, np.asarray(di) - im).max()
+    assert err < 0.5
+
+
+def test_mesh_factoring():
+    assert meshlib.factor_mesh(8) == {"dp": 2, "tp": 4}
+    assert meshlib.factor_mesh(1) == {"dp": 1, "tp": 1}
+    assert meshlib.factor_mesh(7) == {"dp": 1, "tp": 7}
