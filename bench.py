@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: NTTs/sec/chip at N=2^16 (RNS L=16).
+
+Driver contract: print ONE JSON line
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is measured against the BASELINE.json target of 1,000,000
+single-modulus N=2^16 NTTs per second per chip.
+
+Each forward call transforms L*B independent (modulus, polynomial) pairs;
+every pair is one N=2^16 negacyclic NTT (the per-limb accounting used by
+GPU-FHE literature).  Uses a persistent compilation cache so repeated driver
+runs skip the one-time XLA compile.
+"""
+
+import json
+import os
+import sys
+import time
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", "xla")
+
+
+def main():
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from matrix_fhe_tpu.ops.ntt_large import (FourStepNTT, FourStepPlan,
+                                              generate_primes_1mod)
+    from matrix_fhe_tpu.utils.timer import benchmark
+
+    N = 1 << 16
+    L = 16
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    primes = generate_primes_1mod(L, 35, 2 * N)
+    plan = FourStepPlan.make(N, primes)
+    ntt = FourStepNTT(plan)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, size=(B, N), dtype=np.uint64) for q in primes]))
+
+    fwd = jax.jit(ntt.forward)
+    t0 = time.time()
+    jax.block_until_ready(fwd(x))
+    sys.stderr.write(f"[bench] compile+first run: {time.time()-t0:.1f}s\n")
+
+    sec = benchmark(fwd, x, iters=10, warmup=2)
+    ntts_per_sec = (L * B) / sec
+    sys.stderr.write(f"[bench] forward: {sec*1e3:.2f} ms for {L*B} NTTs\n")
+
+    # correctness fence: roundtrip must be exact
+    inv = jax.jit(ntt.inverse)
+    back = np.asarray(inv(fwd(x)))
+    assert (back == np.asarray(x)).all(), "NTT roundtrip mismatch"
+
+    print(json.dumps({
+        "metric": "NTTs/sec/chip (N=2^16, L=16, negacyclic, 35-bit primes)",
+        "value": round(ntts_per_sec, 1),
+        "unit": "NTT/s",
+        "vs_baseline": round(ntts_per_sec / 1_000_000.0, 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,11 +27,28 @@ Design stance (TPU-first, not a CUDA translation):
 This package requires jax_enable_x64; importing it turns the flag on.
 """
 
+import os as _os
+
 import jax as _jax
 
 # 64-bit integers (and f64) are load-bearing for exact RNS arithmetic.
 # This must happen before any tracing; importing the package opts in.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the chunked-matmul pipelines are large
+# graphs; caching makes repeated processes (bench, drivers, tests) skip the
+# one-time compile.  Opt out with MATRIX_FHE_NO_XLA_CACHE=1.
+if not _os.environ.get("MATRIX_FHE_NO_XLA_CACHE"):
+    _cache = _os.environ.get(
+        "MATRIX_FHE_XLA_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "..", ".cache", "xla"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # read-only installs: run without the cache
+        pass
 
 from .config import GLParams, get_params, REF_PARAMS_NAME  # noqa: E402,F401
 

@@ -199,11 +199,24 @@ class BatchedModTransform:
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def chunked_dot_combine(tch, dch, dot_fn, consts, widen):
+def chunked_dot_combine(tch, dch, dot_fn, consts, widen,
+                        chunk_bits: int = CHUNK_BITS,
+                        diag_bound_bits: int = 26):
     """Generic exact chunked product: dot_fn contracts one int8 table chunk
     against one int8 data chunk; diagonals are folded mod q via Montgomery.
 
-    consts entries must broadcast against dot_fn's output shape."""
+    VPU-lean combine: consecutive diagonals are first packed into uint64
+    "groups" with plain shifts/adds —
+
+        G = sum_{s in group} S_s * 2^(chunk_bits*(s-s0))   (exact, < 2^63)
+
+    — so only ONE Montgomery multiply per group (against 2^(7*s0)*R mod q)
+    touches the modular domain, instead of one per diagonal.  With 26-bit
+    diagonal bounds and 7-bit chunks a group holds up to 6 diagonals, cutting
+    the element-wise u64 work ~4x.
+
+    consts entries must broadcast against dot_fn's output shape; "pow2r" is
+    indexed by diagonal s."""
     ct, cd = tch.shape[0], dch.shape[0]
     n_diag = ct + cd - 1
     diags = [None] * n_diag
@@ -217,10 +230,17 @@ def chunked_dot_combine(tch, dch, dot_fn, consts, widen):
     q = consts["q"]
     qinv = consts["qinv_neg"]
     pow2r = consts["pow2r"]
+    # max diagonals per group so the packed value stays < 2^63
+    bound = 40 if widen else diag_bound_bits
+    per_group = max(1, (63 - bound - 1) // chunk_bits + 1)
     out = None
-    for s in range(n_diag):
-        d = diags[s] if widen else diags[s].astype(U64)
-        term = mont_mul(d, pow2r[s], q, qinv)
+    for g0 in range(0, n_diag, per_group):
+        grp = None
+        for k, s in enumerate(range(g0, min(g0 + per_group, n_diag))):
+            d = diags[s].astype(U64) if not widen else diags[s]
+            d = d << np.uint64(chunk_bits * k) if k else d
+            grp = d if grp is None else grp + d
+        term = mont_mul(grp, pow2r[g0], q, qinv)
         if out is None:
             out = term
         else:
