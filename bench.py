@@ -32,14 +32,18 @@ def main():
 
     from matrix_fhe_tpu.ops.ntt_large import (FourStepNTT, FourStepPlan,
                                               generate_primes_1mod)
+    from matrix_fhe_tpu.ops.pallas_ntt import PallasFourStepNTT
     from matrix_fhe_tpu.utils.timer import benchmark
 
     N = 1 << 16
     L = 16
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "64"))
     primes = generate_primes_1mod(L, 35, 2 * N)
     plan = FourStepPlan.make(N, primes)
-    ntt = FourStepNTT(plan)
+    if os.environ.get("BENCH_IMPL", "pallas") == "pallas":
+        ntt = PallasFourStepNTT(plan)  # fused Mosaic stage kernels
+    else:
+        ntt = FourStepNTT(plan)        # XLA-composed chunked matmuls
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(np.stack(
