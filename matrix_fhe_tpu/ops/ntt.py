@@ -36,7 +36,10 @@ class XNTT:
     [L, ..., n] uint64 arrays, batched over everything else."""
 
     def __init__(self, params: GLParams, ring: str = RING_NEGACYCLIC,
-                 tables: GLTables | None = None):
+                 tables: GLTables | None = None,
+                 use_pallas: bool | None = None):
+        import jax
+
         t = tables or build_tables(params)
         self.params = params
         self.ring = ring
@@ -48,18 +51,40 @@ class XNTT:
             raise ValueError(f"unknown ring {ring!r}")
         self._fwd = BatchedModTransform(fwd, params.moduli, side="right")
         self._inv = BatchedModTransform(inv, params.moduli, side="right")
+        self._use_pallas = (jax.default_backend() == "tpu"
+                            if use_pallas is None else use_pallas)
+        self._fwd_p = self._inv_p = None
+        if self._use_pallas:
+            from .modmatmul import limb_runs
+            from .pallas_ntt import PallasStage
+            self._runs = limb_runs(params.moduli)
+            self._fwd_p = [PallasStage(fwd[lo:hi], params.moduli[lo:hi],
+                                       side="right")
+                           for lo, hi, _ in self._runs]
+            self._inv_p = [PallasStage(inv[lo:hi], params.moduli[lo:hi],
+                                       side="right")
+                           for lo, hi, _ in self._runs]
 
-    def _apply(self, trans: BatchedModTransform, x: jnp.ndarray) -> jnp.ndarray:
+    def _apply(self, trans, stages, x: jnp.ndarray) -> jnp.ndarray:
         L = x.shape[0]
         n = x.shape[-1]
         flat = x.reshape(L, -1, n)
+        if stages is not None and flat.shape[1] % 8 == 0:
+            from .pallas_ntt import join_u64, split_u64
+            outs = []
+            for (lo, hi, _), st in zip(self._runs, stages):
+                dlo, dhi = split_u64(flat[lo:hi])
+                olo, ohi = st(dlo, dhi)
+                outs.append(join_u64(olo, ohi))
+            out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+            return out.reshape(x.shape)
         return trans(flat).reshape(x.shape)
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self._apply(self._fwd, x)
+        return self._apply(self._fwd, self._fwd_p, x)
 
     def inverse(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self._apply(self._inv, x)
+        return self._apply(self._inv, self._inv_p, x)
 
     def wrap_constant(self, limb: int) -> int:
         """The X^n wraparound constant of this ring mod q_limb: q-1 for

@@ -134,7 +134,8 @@ def _digit(lo, hi, s):
 
 def _stage_kernel(dlo_ref, dhi_ref, tch_ref, twlo_ref, twhi_ref,
                   sc_ref, p2r_ref, olo_ref, ohi_ref,
-                  *, chunks: int, per_group: int, with_twiddle: bool):
+                  *, chunks: int, per_group: int, with_twiddle: bool,
+                  side: str = "right"):
     ql = sc_ref[0, 0, 0]
     qh = sc_ref[0, 0, 1]
     qil = sc_ref[0, 0, 2]
@@ -157,10 +158,18 @@ def _stage_kernel(dlo_ref, dhi_ref, tch_ref, twlo_ref, twhi_ref,
             diag = None
             for i in range(max(0, s - chunks + 1), min(chunks, s + 1)):
                 j = s - i
-                p = jax.lax.dot_general(
-                    digits[j], tch_ref[0, i],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+                if side == "right":
+                    # out[r, k] = sum_x D[r, x] T[k, x]
+                    p = jax.lax.dot_general(
+                        digits[j], tch_ref[0, i],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                else:
+                    # out[w, m] = sum_r T[w, r] D[r, m]
+                    p = jax.lax.dot_general(
+                        tch_ref[0, i], digits[j],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
                 diag = p if diag is None else diag + p
             d = diag.astype(U32)
             shift = CHUNK_BITS * (s - g0)
@@ -197,15 +206,26 @@ def _stage_kernel(dlo_ref, dhi_ref, tch_ref, twlo_ref, twhi_ref,
 
 
 class PallasStage:
-    """One fused NTT stage: out[l, r, k] = sum_x D[l, r, x] T[l, k, x] mod q,
-    optionally times a per-(r mod tw_rows, k) twiddle."""
+    """One fused modular-matmul stage.
+
+    side='right': out[l, r, k] = sum_x D[l, r, x] T[l, k, x] mod q, tiled over
+                  rows r; optional per-(r mod tw_rows, k) twiddle (NTT stages).
+    side='left':  out[l, w, m] = sum_r T[l, w, r] D[l, r, m] mod q, tiled over
+                  columns m (the W-CRT transform orientation, HE.cu:716-781).
+    """
 
     def __init__(self, tables_u64: np.ndarray, moduli,
                  twiddle_mont: Optional[np.ndarray] = None,
-                 row_tile: int = 256):
-        L, K, Kc = tables_u64.shape
-        assert K == Kc
+                 row_tile: int = 256, side: str = "right"):
+        L, W, K = tables_u64.shape
+        assert side in ("right", "left")
+        if side == "left":
+            assert twiddle_mont is None, "twiddle only supported on 'right'"
+        else:
+            assert W == K
+        self.side = side
         self.L, self.k = L, K
+        self.w = W
         self.row_tile = row_tile
         bits = max(int(q).bit_length() for q in moduli)
         self.chunks = -(-bits // CHUNK_BITS)
@@ -215,8 +235,8 @@ class PallasStage:
         self.per_group = max(1, (62 - diag_bits) // CHUNK_BITS + 1)
         self.n_groups = -(-n_diag // self.per_group)
 
-        # pre-chunked tables [L, C, K, K] int8
-        tch = np.empty((L, self.chunks, K, K), dtype=np.int8)
+        # pre-chunked tables [L, C, W, K] int8 (W == K for 'right')
+        tch = np.empty((L, self.chunks, W, K), dtype=np.int8)
         for c in range(self.chunks):
             tch[:, c] = ((tables_u64 >> np.uint64(CHUNK_BITS * c))
                          & np.uint64(127)).astype(np.int8)
@@ -252,58 +272,78 @@ class PallasStage:
                                      .astype(np.uint32))
             self._twhi = jnp.asarray((m >> np.uint64(32)).astype(np.uint32))
         else:
-            self.tw_rows = row_tile
-            self._twlo = jnp.zeros((L, 1, row_tile, K), jnp.uint32)
-            self._twhi = jnp.zeros((L, 1, row_tile, K), jnp.uint32)
+            # unused placeholder blocks (kernel never reads them)
+            self.tw_rows = 0
+            self._twlo = jnp.zeros((L, 1, 1, 1), jnp.uint32)
+            self._twhi = jnp.zeros((L, 1, 1, 1), jnp.uint32)
 
     @functools.lru_cache(maxsize=8)
-    def _call(self, rows: int):
-        L, K, TR = self.L, self.k, self.row_tile
-        assert rows % TR == 0 and self.tw_rows % TR == 0
-        tiles_per_tw = self.tw_rows // TR
-        grid = (L, rows // TR)
+    def _call(self, rows: int, TR: int):
+        L, K = self.L, self.k
         kern = functools.partial(
             _stage_kernel, chunks=self.chunks, per_group=self.per_group,
-            with_twiddle=self.with_twiddle)
-        data_spec = pl.BlockSpec((1, TR, K), lambda l, r: (l, r, 0),
-                                 memory_space=pltpu.VMEM)
+            with_twiddle=self.with_twiddle, side=self.side)
+        tch_spec = pl.BlockSpec((1, self.chunks, self.w, K),
+                                lambda l, r: (l, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, r: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        p2r_spec = pl.BlockSpec((1, 1, 2 * self.n_groups),
+                                lambda l, r: (l, 0, 0),
+                                memory_space=pltpu.SMEM)
+        assert rows % TR == 0
+        grid = (L, rows // TR)
+        if self.side == "right":
+            data_spec = pl.BlockSpec((1, TR, K), lambda l, r: (l, r, 0),
+                                     memory_space=pltpu.VMEM)
+            out_spec = data_spec
+            out_shape = (L, rows, K)
+            if self.with_twiddle:
+                assert self.tw_rows % TR == 0
+                tiles_per_tw = self.tw_rows // TR
+                tw_spec = pl.BlockSpec(
+                    (1, self.n_groups, TR, K),
+                    lambda l, r: (l, 0, r % tiles_per_tw, 0),
+                    memory_space=pltpu.VMEM)
+            else:
+                tw_spec = pl.BlockSpec((1, 1, 1, 1),
+                                       lambda l, r: (l, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)
+        else:
+            # rows == number of data columns M here; tile over M
+            data_spec = pl.BlockSpec((1, K, TR), lambda l, m: (l, 0, m),
+                                     memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec((1, self.w, TR), lambda l, m: (l, 0, m),
+                                    memory_space=pltpu.VMEM)
+            out_shape = (L, self.w, rows)
+            tw_spec = pl.BlockSpec((1, 1, 1, 1), lambda l, m: (l, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[
-                data_spec, data_spec,
-                pl.BlockSpec((1, self.chunks, K, K), lambda l, r: (l, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, self.n_groups if self.with_twiddle else 1,
-                              TR, K),
-                             lambda l, r: (l, 0, r % tiles_per_tw, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, self.n_groups if self.with_twiddle else 1,
-                              TR, K),
-                             lambda l, r: (l, 0, r % tiles_per_tw, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 4), lambda l, r: (l, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 2 * self.n_groups),
-                             lambda l, r: (l, 0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=(data_spec, data_spec),
-            out_shape=(jax.ShapeDtypeStruct((L, rows, K), jnp.uint32),
-                       jax.ShapeDtypeStruct((L, rows, K), jnp.uint32)),
+            in_specs=[data_spec, data_spec, tch_spec, tw_spec, tw_spec,
+                      sc_spec, p2r_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+                       jax.ShapeDtypeStruct(out_shape, jnp.uint32)),
             interpret=jax.default_backend() == "cpu",
         )
 
     def __call__(self, d_lo: jnp.ndarray, d_hi: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """d_lo/d_hi: [L, R, K] uint32 -> (lo, hi) of the stage output."""
-        rows = d_lo.shape[1]
-        call = self._call(rows)
+        """side='right': d_lo/d_hi [L, R, K] uint32, tiled over R.
+        side='left':  d_lo/d_hi [L, R(=K), M] uint32, tiled over M."""
+        rows = d_lo.shape[1] if self.side == "right" else d_lo.shape[2]
+        TR = min(self.row_tile, rows)
+        while rows % TR:
+            TR //= 2
+        call = self._call(rows, TR)
+        twl, twh = self._twlo, self._twhi
         # Mosaic cannot legalize the i64 index/return types that
         # jax_enable_x64 injects into gridded pallas_calls; trace the kernel
         # in 32-bit mode (all operands are explicitly u32/int8 anyway).
         with jax.enable_x64(False):
-            return call(d_lo, d_hi, self._tch, self._twlo, self._twhi,
+            return call(d_lo, d_hi, self._tch, twl, twh,
                         self._sc, self._p2r)
 
 

@@ -25,13 +25,21 @@ import numpy as np
 from ..config import GLParams
 from ..tables import GLTables, build_tables
 from .crt import CRTComposer, centered_i64_to_rns
-from .modmatmul import BatchedModTransform
+from .modmatmul import BatchedModTransform, limb_runs
 
 
 class WTransform:
-    """Forward/inverse W-CRT over all RNS limbs + complex W-DFT."""
+    """Forward/inverse W-CRT over all RNS limbs + complex W-DFT.
 
-    def __init__(self, params: GLParams, tables: GLTables | None = None):
+    On TPU the mod-q matmuls run as fused Pallas stage kernels (side='left';
+    see ops/pallas_ntt.py); elsewhere the XLA-composed chunked-int8 path is
+    used.  Both are bit-exact.
+    """
+
+    def __init__(self, params: GLParams, tables: GLTables | None = None,
+                 use_pallas: bool | None = None):
+        import jax
+
         self.params = params
         t = tables or build_tables(params)
         self.tables = t
@@ -40,6 +48,19 @@ class WTransform:
         # limb-0-only inverse for the centered test path (HE.cu:1101)
         self._inv0 = BatchedModTransform(t.w_inv[:1], params.moduli[:1],
                                          side="left")
+        self._use_pallas = (jax.default_backend() == "tpu"
+                            if use_pallas is None else use_pallas)
+        self._fwd_p = self._inv_p = None
+        if self._use_pallas:
+            from .pallas_ntt import PallasStage
+            self._runs = limb_runs(params.moduli)
+            self._fwd_p = [PallasStage(t.w_fwd[lo:hi], params.moduli[lo:hi],
+                                       side="left")
+                           for lo, hi, _ in self._runs]
+            self._inv_p = [PallasStage(t.w_inv[lo:hi], params.moduli[lo:hi],
+                                       side="left")
+                           for lo, hi, _ in self._runs]
+
         self._composer = CRTComposer(t)
         # complex tables as separate f64 re/im parts
         self._dft_re = jnp.asarray(t.wdft.real)
@@ -47,18 +68,31 @@ class WTransform:
         self._idft_re = jnp.asarray(t.wdft_inv.real)
         self._idft_im = jnp.asarray(t.wdft_inv.imag)
 
+    def _apply_pallas(self, stages, flat: jnp.ndarray) -> jnp.ndarray:
+        from .pallas_ntt import join_u64, split_u64
+        outs = []
+        for (lo, hi, _), st in zip(self._runs, stages):
+            dlo, dhi = split_u64(flat[lo:hi])
+            olo, ohi = st(dlo, dhi)
+            outs.append(join_u64(olo, ohi))
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
     # -- mod-q path ----------------------------------------------------------
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """[L, W, ...] uint64 coeff -> eval (out[w] = sum_r V[w,r] x[r])."""
         L, W = x.shape[0], x.shape[1]
         flat = x.reshape(L, W, -1)
+        if self._fwd_p is not None and flat.shape[-1] % 8 == 0:
+            return self._apply_pallas(self._fwd_p, flat).reshape(x.shape)
         return self._fwd(flat).reshape(x.shape)
 
     def inverse(self, x: jnp.ndarray) -> jnp.ndarray:
         """[L, W, ...] uint64 eval -> coeff (out[r] = sum_w V^-1[r,w] x[w])."""
         L, W = x.shape[0], x.shape[1]
         flat = x.reshape(L, W, -1)
+        if self._inv_p is not None and flat.shape[-1] % 8 == 0:
+            return self._apply_pallas(self._inv_p, flat).reshape(x.shape)
         return self._inv(flat).reshape(x.shape)
 
     # -- centered-integer path (test oracles; HE.cu:1029-1114) ----------------
