@@ -24,43 +24,58 @@ def setup():
 
 def test_u32_pair_helpers(rng):
     a = rng.integers(0, 1 << 63, size=256, dtype=np.uint64)
-    b = rng.integers(0, 1 << 45, size=256, dtype=np.uint64)
+    b = rng.integers(0, 1 << 48, size=256, dtype=np.uint64)
+    c16 = rng.integers(0, 1 << 16, size=256, dtype=np.uint64)
     with jax.enable_x64(False):
         ah = jnp.asarray((a >> 32).astype(np.uint32))
         al = jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32))
         bh = jnp.asarray((b >> 32).astype(np.uint32))
         bl = jnp.asarray((b & 0xFFFFFFFF).astype(np.uint32))
-        p3, p2, p1, p0 = pn._mul64_full(ah, al, bh, bl)
-        got = (np.asarray(p3).astype(object) << 96) | \
-              (np.asarray(p2).astype(object) << 64) | \
-              (np.asarray(p1).astype(object) << 32) | \
-              np.asarray(p0).astype(object)
         want = a.astype(object) * b.astype(object)
-        assert (got == want).all()
         lh, ll = pn._mullo64(ah, al, bh, bl)
         lo64 = (np.asarray(lh).astype(object) << 32) | np.asarray(ll)
         assert (lo64 == (want & ((1 << 64) - 1))).all()
+        hi, lo = pn._mul_u32_u16(al, jnp.asarray(c16.astype(np.uint32)))
+        got = (np.asarray(hi).astype(object) << 32) | np.asarray(lo)
+        assert (got == (a & 0xFFFFFFFF).astype(object) * c16).all()
 
 
-def test_mont_pair_matches_bigint(rng):
+def test_redc_and_montmul48_match_bigint(rng):
     from matrix_fhe_tpu.ops.modmath import MontConsts
-    q = 17192831233
-    mc = MontConsts.make(q)
-    a = rng.integers(0, q, size=512, dtype=np.uint64)
-    b = rng.integers(0, q, size=512, dtype=np.uint64)
-    with jax.enable_x64(False):
-        rh, rl = pn._mont_mul_pair(
-            jnp.asarray((a >> 32).astype(np.uint32)),
-            jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32)),
-            jnp.asarray((b >> 32).astype(np.uint32)),
-            jnp.asarray((b & 0xFFFFFFFF).astype(np.uint32)),
-            jnp.uint32(q >> 32), jnp.uint32(q & 0xFFFFFFFF),
-            jnp.uint32(mc.qinv_neg >> 32),
-            jnp.uint32(mc.qinv_neg & 0xFFFFFFFF))
-    got = (np.asarray(rh).astype(object) << 32) | np.asarray(rl)
-    rinv = pow(1 << 64, -1, q)
-    want = a.astype(object) * b.astype(object) * rinv % q
-    assert (got == want).all()
+    rinv = pow(1 << 64, -1, 1)  # placeholder, per-q below
+    for q in (17192831233, (1 << 45) - 55, (1 << 35) - 849):
+        mc = MontConsts.make(q)
+        qh = jnp.uint32(q >> 32)
+        ql = jnp.uint32(q & 0xFFFFFFFF)
+        qih = jnp.uint32(mc.qinv_neg >> 32)
+        qil = jnp.uint32(mc.qinv_neg & 0xFFFFFFFF)
+        rinv = pow(1 << 64, -1, q)
+        # _redc on 128-bit t < R*q
+        t = [int(x) % (q << 64) for x in
+             rng.integers(0, 1 << 63, size=64, dtype=np.uint64).astype(object)
+             * rng.integers(0, 1 << 45, size=64, dtype=np.uint64).astype(object)]
+        with jax.enable_x64(False):
+            words = [jnp.asarray(np.array([(v >> (32 * i)) & 0xFFFFFFFF
+                                           for v in t], dtype=np.uint32))
+                     for i in range(4)]
+            rh, rl = pn._redc(words[3], words[2], words[1], words[0],
+                              qh, ql, qih, qil)
+        got = (np.asarray(rh).astype(object) << 32) | np.asarray(rl)
+        want = np.array([v * rinv % q for v in t], dtype=object)
+        assert (got == want).all()
+        # _montmul48 on canonical residues
+        a = rng.integers(0, q, size=256, dtype=np.uint64)
+        b = rng.integers(0, q, size=256, dtype=np.uint64)
+        with jax.enable_x64(False):
+            rh, rl = pn._montmul48(
+                jnp.asarray((a >> 32).astype(np.uint32)),
+                jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32)),
+                jnp.asarray((b >> 32).astype(np.uint32)),
+                jnp.asarray((b & 0xFFFFFFFF).astype(np.uint32)),
+                qh, ql, qih, qil)
+        got = (np.asarray(rh).astype(object) << 32) | np.asarray(rl)
+        want = a.astype(object) * b.astype(object) * rinv % q
+        assert (got == want).all()
 
 
 def test_pallas_forward_bit_exact(setup, rng):
