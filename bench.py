@@ -8,8 +8,16 @@ single-modulus N=2^16 NTTs per second per chip.
 
 Each forward call transforms L*B independent (modulus, polynomial) pairs;
 every pair is one N=2^16 negacyclic NTT (the per-limb accounting used by
-GPU-FHE literature).  Uses a persistent compilation cache so repeated driver
-runs skip the one-time XLA compile.
+GPU-FHE literature).  Residues are stored as u32 lo/hi planes (TPU has no
+64-bit vector unit; the pair layout is this framework's native ciphertext
+word format).
+
+Timing methodology: through the remote-TPU tunnel, jax.block_until_ready
+can return before work completes (see .claude/skills/verify/SKILL.md), so
+the timed loop CHAINS the NTT (output feeds the next input — valid since
+outputs are canonical residues) and fences with a device->host readback.
+Uses a persistent compilation cache so repeated driver runs skip the
+one-time XLA compile.
 """
 
 import json
@@ -32,36 +40,47 @@ def main():
 
     from matrix_fhe_tpu.ops.ntt_large import (FourStepNTT, FourStepPlan,
                                               generate_primes_1mod)
-    from matrix_fhe_tpu.ops.pallas_ntt import PallasFourStepNTT
-    from matrix_fhe_tpu.utils.timer import benchmark
+    from matrix_fhe_tpu.ops.pallas_ntt import (PallasFourStepNTT, join_u64,
+                                               split_u64)
 
     N = 1 << 16
     L = 16
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    ITERS = int(os.environ.get("BENCH_ITERS", "10"))
     primes = generate_primes_1mod(L, 35, 2 * N)
     plan = FourStepPlan.make(N, primes)
     if os.environ.get("BENCH_IMPL", "pallas") == "pallas":
-        ntt = PallasFourStepNTT(plan)  # fused Mosaic stage kernels
+        ntt = PallasFourStepNTT(plan)  # fused Mosaic two-stage kernel
+        fwd = jax.jit(ntt.forward_pair)
+        inv = jax.jit(ntt.inverse_pair)
     else:
         ntt = FourStepNTT(plan)        # XLA-composed chunked matmuls
+        fwd = jax.jit(lambda lo, hi: split_u64(ntt.forward(join_u64(lo, hi))))
+        inv = jax.jit(lambda lo, hi: split_u64(ntt.inverse(join_u64(lo, hi))))
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(np.stack(
-        [rng.integers(0, q, size=(B, N), dtype=np.uint64) for q in primes]))
+    x = np.stack(
+        [rng.integers(0, q, size=(B, N), dtype=np.uint64) for q in primes])
+    lo, hi = split_u64(jnp.asarray(x))
 
-    fwd = jax.jit(ntt.forward)
     t0 = time.time()
-    jax.block_until_ready(fwd(x))
+    a, b = fwd(lo, hi)
+    _ = jax.device_get(a[0, :1, :1])
     sys.stderr.write(f"[bench] compile+first run: {time.time()-t0:.1f}s\n")
 
-    sec = benchmark(fwd, x, iters=10, warmup=2)
+    # chained steady-state timing, fenced by a readback
+    t0 = time.perf_counter()
+    a, b = lo, hi
+    for _ in range(ITERS):
+        a, b = fwd(a, b)
+    _ = jax.device_get(a[0, :1, :1])
+    sec = (time.perf_counter() - t0) / ITERS
     ntts_per_sec = (L * B) / sec
     sys.stderr.write(f"[bench] forward: {sec*1e3:.2f} ms for {L*B} NTTs\n")
 
     # correctness fence: roundtrip must be exact
-    inv = jax.jit(ntt.inverse)
-    back = np.asarray(inv(fwd(x)))
-    assert (back == np.asarray(x)).all(), "NTT roundtrip mismatch"
+    back = np.asarray(join_u64(*inv(*fwd(lo, hi))))
+    assert (back == x).all(), "NTT roundtrip mismatch"
 
     print(json.dumps({
         "metric": "NTTs/sec/chip (N=2^16, L=16, negacyclic, 35-bit primes)",

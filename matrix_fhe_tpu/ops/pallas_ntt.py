@@ -182,47 +182,216 @@ def _digit(lo, hi, s):
 
 
 # ---------------------------------------------------------------------------
+# Digit-product schemes: how the c x c digit products that reconstruct the
+# 2c-1 product diagonals are computed on the MXU.  Schoolbook needs c^2 dots;
+# the subtractive-Karatsuba schemes cut that to 18 (c=5) / 32 (c=7) dots at
+# the cost of signed diagonals (handled by bias + exact 128-bit compensation
+# in the packer).  `combos` lists the digit linear combinations needed of
+# BOTH operands (applied host-side to the tables, in-kernel to the data);
+# every dot multiplies combo[i] of the data with combo[i]... pairs given by
+# the scheme's `diagonals`.
+# ---------------------------------------------------------------------------
+
+def _combo_planes(digits_i32, combos):
+    """Apply coefficient vectors to digit planes.  Mosaic has no int8 vector
+    arithmetic, so combinations run in int32 and each plane is cast to int8
+    only at the end (the MXU dot input type)."""
+    out = []
+    for vec in combos:
+        acc = None
+        for c, d in zip(vec, digits_i32):
+            if c == 0:
+                continue
+            term = d if c == 1 else -d
+            acc = term if acc is None else acc + term
+        out.append(acc.astype(jnp.int8))
+    return out
+
+
+def _ident(chunks):
+    return [tuple(1 if i == j else 0 for i in range(chunks))
+            for j in range(chunks)]
+
+
+def _vec(chunks, **kw):
+    v = [0] * chunks
+    for k, c in kw.items():
+        v[int(k[1:])] = c
+    return tuple(v)
+
+
+class _Schoolbook:
+    """c^2 dots, non-negative diagonals (unsigned digits)."""
+
+    def __init__(self, chunks):
+        self.chunks = chunks
+        self.n_dots = chunks * chunks
+        self.combos = _ident(chunks)
+        self.signed = False
+
+    def diagonals(self, dp, dot):
+        n_diag = 2 * self.chunks - 1
+        out = []
+        for s in range(n_diag):
+            diag = None
+            for i in range(max(0, s - self.chunks + 1),
+                           min(self.chunks, s + 1)):
+                p = dot(dp[s - i], i)
+                diag = p if diag is None else diag + p
+            out.append(diag)
+        return out
+
+
+class _Karatsuba5:
+    """5-digit product in 18 dots: split 2+3, subtractive Karatsuba on both
+    halves, schoolbook on the (A0-A1) middle (whose digit range [-127,127]
+    admits no further splitting in int8)."""
+
+    chunks = 5
+    n_dots = 18
+    signed = True
+
+    def __init__(self):
+        self.combos = _ident(5) + [
+            _vec(5, d0=1, d1=-1),            # 5: mA
+            _vec(5, d2=1, d3=-1),            # 6: m23
+            _vec(5, d2=1, d4=-1),            # 7: m24
+            _vec(5, d3=1, d4=-1),            # 8: m34
+            _vec(5, d0=1, d2=-1),            # 9: u0
+            _vec(5, d1=1, d3=-1),            # 10: u1
+            _vec(5, d4=-1),                  # 11: u2
+        ]
+
+    def diagonals(self, dp, dot):
+        p00, p11 = dot(dp[0], 0), dot(dp[1], 1)
+        p22, p33, p44 = dot(dp[2], 2), dot(dp[3], 3), dot(dp[4], 4)
+        mA = dot(dp[5], 5)
+        m23, m24, m34 = dot(dp[6], 6), dot(dp[7], 7), dot(dp[8], 8)
+        pm = [[dot(dp[9 + i], 9 + j) for j in range(3)] for i in range(3)]
+        P0 = [p00, p00 + p11 - mA, p11]
+        P2 = [p22, p22 + p33 - m23, p22 + p33 + p44 - m24,
+              p33 + p44 - m34, p44]
+        Pm = [pm[0][0], pm[0][1] + pm[1][0],
+              pm[0][2] + pm[1][1] + pm[2][0],
+              pm[1][2] + pm[2][1], pm[2][2]]
+        M = [P0[0] + P2[0] - Pm[0], P0[1] + P2[1] - Pm[1],
+             P0[2] + P2[2] - Pm[2], P2[3] - Pm[3]]
+        return [P0[0], P0[1], P0[2] + M[0], M[1], M[2] + P2[0],
+                M[3] + P2[1], P2[2], P2[3], P2[4]]
+
+
+class _Karatsuba7:
+    """7-digit product in 32 dots: split 3+4; 3x3 subtractive on A0B0,
+    (2+2)-Karatsuba on A1B1, schoolbook on the 4-digit middle."""
+
+    chunks = 7
+    n_dots = 32
+    signed = True
+
+    def __init__(self):
+        self.combos = _ident(7) + [
+            _vec(7, d0=1, d1=-1),            # 7:  c01
+            _vec(7, d0=1, d2=-1),            # 8:  c02
+            _vec(7, d1=1, d2=-1),            # 9:  c12
+            _vec(7, d3=1, d4=-1),            # 10: c34
+            _vec(7, d5=1, d6=-1),            # 11: c56
+            _vec(7, d3=1, d5=-1),            # 12: e0
+            _vec(7, d4=1, d6=-1),            # 13: e1
+            _vec(7, d0=1, d3=-1),            # 14: w0
+            _vec(7, d1=1, d4=-1),            # 15: w1
+            _vec(7, d2=1, d5=-1),            # 16: w2
+            _vec(7, d6=-1),                  # 17: w3
+        ]
+
+    def diagonals(self, dp, dot):
+        p0, p1, p2 = dot(dp[0], 0), dot(dp[1], 1), dot(dp[2], 2)
+        m01, m02, m12 = dot(dp[7], 7), dot(dp[8], 8), dot(dp[9], 9)
+        P0 = [p0, p0 + p1 - m01, p0 + p1 + p2 - m02, p1 + p2 - m12, p2]
+        p3, p4 = dot(dp[3], 3), dot(dp[4], 4)
+        m34 = dot(dp[10], 10)
+        P0p = [p3, p3 + p4 - m34, p4]
+        p5, p6 = dot(dp[5], 5), dot(dp[6], 6)
+        m56 = dot(dp[11], 11)
+        P2p = [p5, p5 + p6 - m56, p6]
+        pmp = [[dot(dp[12 + i], 12 + j) for j in range(2)] for i in range(2)]
+        Pmp = [pmp[0][0], pmp[0][1] + pmp[1][0], pmp[1][1]]
+        Mp = [P0p[d] + P2p[d] - Pmp[d] for d in range(3)]
+        P2 = [P0p[0], P0p[1], P0p[2] + Mp[0], Mp[1],
+              Mp[2] + P2p[0], P2p[1], P2p[2]]
+        pw = [[dot(dp[14 + i], 14 + j) for j in range(4)] for i in range(4)]
+        Pm = [None] * 7
+        for d in range(7):
+            acc = None
+            for i in range(max(0, d - 3), min(4, d + 1)):
+                t = pw[i][d - i]
+                acc = t if acc is None else acc + t
+            Pm[d] = acc
+        M = [P0[d] + P2[d] - Pm[d] if d <= 4 else P2[d] - Pm[d]
+             for d in range(6)]
+        c = [None] * 13
+        for s in range(13):
+            acc = None
+            for term in ([P0[s]] if s <= 4 else []) + \
+                        ([M[s - 3]] if 3 <= s <= 8 else []) + \
+                        ([P2[s - 6]] if s >= 6 else []):
+                acc = term if acc is None else acc + term
+            c[s] = acc
+        return c
+
+
+# ---------------------------------------------------------------------------
 # The fused stage kernel
 # ---------------------------------------------------------------------------
 
-def _stage_kernel(dlo_ref, dhi_ref, tch_ref, twlo_ref, twhi_ref,
-                  sc_ref, olo_ref, ohi_ref,
-                  *, chunks: int, with_twiddle: bool, side: str,
-                  pair_pack: bool, lead: int):
-    ql = sc_ref[0, 0, 0]
-    qh = sc_ref[0, 0, 1]
-    qil = sc_ref[0, 0, 2]
-    qih = sc_ref[0, 0, 3]
-    idx = (0,) * lead
-    lo = dlo_ref[idx]
-    hi = dhi_ref[idx]
+def _mod_matmul_tile(lo, hi, table_planes, qc, *, scheme, bias_bits: int,
+                     neg_c_words, side: str, pair_pack: bool, tw=None):
+    """One modular-matmul tile: digit-split (lo, hi) canonical residues,
+    MXU digit dots against the pre-split table planes (a function idx ->
+    int8 plane), exact 128-bit diagonal pack, single REDC, optional twiddle
+    montmul.  Returns canonical (hi, lo) u32 planes."""
+    import os as _os
+    _abl = _os.environ.get("MFHE_PALLAS_ABLATE", "")
+    qh, ql, qih, qil = qc
+    chunks = scheme.chunks
     n_diag = 2 * chunks - 1
 
-    digits = [_digit(lo, hi, CHUNK_BITS * j).astype(jnp.int8)
+    if _abl == "io":
+        return hi, lo
+    digits = [_digit(lo, hi, CHUNK_BITS * j).astype(jnp.int32)
               for j in range(chunks)]
+    dp = _combo_planes(digits, scheme.combos)
+    if _abl == "extract":
+        acc = sum(d.astype(jnp.int32) for d in dp).astype(U32)
+        return acc, acc
 
-    diags = []
-    for s in range(n_diag):
-        diag = None
-        for i in range(max(0, s - chunks + 1), min(chunks, s + 1)):
-            j = s - i
-            if side == "right":
-                # out[r, k] = sum_x D[r, x] T[k, x]
-                p = jax.lax.dot_general(
-                    digits[j], tch_ref[0, i],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-            else:
-                # out[w, m] = sum_r T[w, r] D[r, m]
-                p = jax.lax.dot_general(
-                    tch_ref[0, i], digits[j],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-            diag = p if diag is None else diag + p
-        diags.append(diag.astype(U32))
+    if side == "right":
+        # out[r, k] = sum_x D[r, x] T[k, x]
+        def dot(d, i):
+            return jax.lax.dot_general(d, table_planes(i),
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+    else:
+        # out[w, m] = sum_r T[w, r] D[r, m]
+        def dot(d, i):
+            return jax.lax.dot_general(table_planes(i), d,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
 
-    # pack the diagonal values (exact integer S = v * R < 2^99) into four
-    # u32 words; adjacent diagonals pair into one u32 when the bound allows
+    diags_i32 = scheme.diagonals(dp, dot)
+    if _abl == "dots":
+        acc = sum(diags_i32).astype(U32)
+        return acc, acc
+    if scheme.signed:
+        bias = np.int32(1 << bias_bits)
+        diags = [(d + bias).astype(U32) for d in diags_i32]
+    else:
+        diags = [d.astype(U32) for d in diags_i32]
+
+    # pack the diagonal values (exact integer S = v * R < R*q) into four
+    # u32 words; adjacent diagonals pair into one u32 when the bound allows.
+    # For signed schemes every diagonal carries a +2^bias_bits offset that
+    # the precomputed 128-bit complement constant cancels exactly (mod 2^128)
+    # inside the same carry-counted word sum.
     if pair_pack:
         packets = [(14 * t, diags[2 * t] + (diags[2 * t + 1]
                                             << np.uint32(CHUNK_BITS)))
@@ -239,16 +408,119 @@ def _stage_kernel(dlo_ref, dhi_ref, tch_ref, twlo_ref, twhi_ref,
         else:
             parts[w].append(v << np.uint32(r))
             parts[w + 1].append(v >> np.uint32(32 - r))
+    if neg_c_words is not None:
+        for w, val in enumerate(neg_c_words):
+            if val:
+                parts[w].append(np.uint32(val))
     t0, t1, t2, t3 = _sum_words(parts, diags[0])
+    if _abl == "pack":
+        return t3 ^ t1, t2 ^ t0
 
     rh, rl = _redc(t3, t2, t1, t0, qh, ql, qih, qil)
-    if with_twiddle:
-        twl = twlo_ref[idx]
-        twh = twhi_ref[idx]
+    if tw is not None and _abl != "notw":
+        twh, twl = tw
         rh, rl = _montmul48(rh, rl, twh, twl, qh, ql, qih, qil)
+    return rh, rl
 
+
+def _stage_kernel(dlo_ref, dhi_ref, tch_ref, twlo_ref, twhi_ref,
+                  sc_ref, olo_ref, ohi_ref,
+                  *, scheme, bias_bits: int, neg_c_words, with_twiddle: bool,
+                  side: str, pair_pack: bool, lead: int):
+    qc = (sc_ref[0, 0, 1], sc_ref[0, 0, 0], sc_ref[0, 0, 3], sc_ref[0, 0, 2])
+    idx = (0,) * lead
+    tw = (twhi_ref[idx], twlo_ref[idx]) if with_twiddle else None
+    rh, rl = _mod_matmul_tile(
+        dlo_ref[idx], dhi_ref[idx], lambda i: tch_ref[0, i], qc,
+        scheme=scheme, bias_bits=bias_bits, neg_c_words=neg_c_words,
+        side=side, pair_pack=pair_pack, tw=tw)
     olo_ref[idx] = rl
     ohi_ref[idx] = rh
+
+
+def _fused_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twlo_ref, twhi_ref,
+                      sc_ref, olo_ref, ohi_ref,
+                      *, scheme, bias_bits: int, neg_c_words, pair_pack: bool,
+                      sides: Tuple[str, str]):
+    """Both four-step stages on one [n1, n2] tile: stage A (with the
+    inter-stage twiddle folded onto its output) immediately feeds stage B —
+    the intermediate spectrum never leaves VMEM."""
+    qc = (sc_ref[0, 0, 1], sc_ref[0, 0, 0], sc_ref[0, 0, 3], sc_ref[0, 0, 2])
+    tw = (twhi_ref[0, 0], twlo_ref[0, 0])
+    kw = dict(scheme=scheme, bias_bits=bias_bits, neg_c_words=neg_c_words,
+              pair_pack=pair_pack)
+    h, l = _mod_matmul_tile(dlo_ref[0, 0], dhi_ref[0, 0],
+                            lambda i: tA_ref[0, i], qc,
+                            side=sides[0], tw=tw, **kw)
+    rh, rl = _mod_matmul_tile(l, h, lambda i: tB_ref[0, i], qc,
+                              side=sides[1], tw=None, **kw)
+    olo_ref[0, 0] = rl
+    ohi_ref[0, 0] = rh
+
+
+def _plan_scheme(K: int, bits: int):
+    """Pick the digit-product scheme and packer constants for a modular
+    matmul with contraction length K over `bits`-wide moduli."""
+    import os
+
+    chunks = -(-bits // CHUNK_BITS)
+    n_diag = 2 * chunks - 1
+    # Karatsuba's in-kernel combo planes (i32 until the int8 cast) cost
+    # ~len(combos) * K * tile * 4 bytes of scoped VMEM; at K = 512 that
+    # blows the 16 MB budget, so it is gated to K <= 256 contractions.
+    no_kara = os.environ.get("MFHE_NO_KARATSUBA", "") == "1" or K > 256
+    if chunks == 5 and not no_kara:
+        scheme = _Karatsuba5()
+    elif chunks == 7 and not no_kara:
+        scheme = _Karatsuba7()
+    else:
+        scheme = _Schoolbook(chunks)
+    if scheme.signed:
+        bias_bits = (20 * K * 127 * 127).bit_length()
+        bias = 1 << bias_bits
+        assert bias + 20 * K * 127 * 127 < (1 << 31)
+        c_total = sum(bias << (CHUNK_BITS * s) for s in range(n_diag))
+        neg = (1 << 128) - c_total
+        neg_c_words = tuple((neg >> (32 * i)) & 0xFFFFFFFF for i in range(4))
+        pair_pack = False
+    else:
+        bias_bits = 0
+        neg_c_words = None
+        max_diag = K * (127 ** 2) * chunks
+        pair_pack = max_diag * ((1 << CHUNK_BITS) + 1) < (1 << 32)
+    return scheme, bias_bits, neg_c_words, pair_pack
+
+
+def _split_tables(tables_u64: np.ndarray, moduli, combos) -> np.ndarray:
+    """Montgomery-domain digit combo planes [L, n_combos, W, K] int8."""
+    L, W, K = tables_u64.shape
+    chunks = len(combos[0])
+    tmont = np.empty_like(tables_u64)
+    for l, q in enumerate(moduli):
+        q = int(q)
+        r_mod = (1 << 64) % q
+        tmont[l] = (tables_u64[l].astype(object) * r_mod % q
+                    ).astype(np.uint64)
+    tdig = np.empty((L, chunks, W, K), dtype=np.int16)
+    for c in range(chunks):
+        tdig[:, c] = ((tmont >> np.uint64(CHUNK_BITS * c))
+                      & np.uint64(127)).astype(np.int16)
+    tch = np.zeros((L, len(combos), W, K), dtype=np.int16)
+    for i, vec in enumerate(combos):
+        for c, coef in enumerate(vec):
+            if coef:
+                tch[:, i] += coef * tdig[:, c]
+    assert np.abs(tch).max() <= 127
+    return tch.astype(np.int8)
+
+
+def _mont_consts_u32(moduli) -> np.ndarray:
+    sc = np.empty((len(moduli), 4), dtype=np.uint32)
+    for l, q in enumerate(moduli):
+        mc = MontConsts.make(int(q))
+        sc[l] = (q & 0xFFFFFFFF, q >> 32,
+                 mc.qinv_neg & 0xFFFFFFFF, mc.qinv_neg >> 32)
+    return sc.reshape(len(moduli), 1, 4)
 
 
 class PallasStage:
@@ -281,34 +553,15 @@ class PallasStage:
         bits = max(int(q).bit_length() for q in moduli)
         assert bits < 48, "moduli must be < 2^48 for the specialized REDC"
         self.chunks = -(-bits // CHUNK_BITS)
-        n_diag = 2 * self.chunks - 1
-        # pairing bound: (max diagonal value) * (2^7 + 1) must fit in u32
-        max_diag = K * (127 ** 2) * self.chunks
-        self.pair_pack = max_diag * ((1 << CHUNK_BITS) + 1) < (1 << 32)
         # packed integer is exactly sum_x D[x]*(T*R mod q)[x] < K * q^2;
         # REDC needs < R*q = q * 2^64
         assert K < (1 << 64) // (1 << bits), "K*q^2 exceeds the REDC domain"
 
-        # digit-split Montgomery-domain tables [L, C, W, K] int8
-        tmont = np.empty_like(tables_u64)
-        for l, q in enumerate(moduli):
-            q = int(q)
-            r_mod = (1 << 64) % q
-            tmont[l] = (tables_u64[l].astype(object) * r_mod % q
-                        ).astype(np.uint64)
-        tch = np.empty((L, self.chunks, W, K), dtype=np.int8)
-        for c in range(self.chunks):
-            tch[:, c] = ((tmont >> np.uint64(CHUNK_BITS * c))
-                         & np.uint64(127)).astype(np.int8)
-        self._tch = jnp.asarray(tch)
-
-        # scalar consts [L, 4]: q_lo, q_hi, qinv_lo, qinv_hi
-        sc = np.empty((L, 4), dtype=np.uint32)
-        for l, q in enumerate(moduli):
-            mc = MontConsts.make(int(q))
-            sc[l] = (q & 0xFFFFFFFF, q >> 32,
-                     mc.qinv_neg & 0xFFFFFFFF, mc.qinv_neg >> 32)
-        self._sc = jnp.asarray(sc.reshape(L, 1, 4))
+        (self.scheme, self.bias_bits, self.neg_c_words,
+         self.pair_pack) = _plan_scheme(K, bits)
+        self._tch = jnp.asarray(
+            _split_tables(tables_u64, moduli, self.scheme.combos))
+        self._sc = jnp.asarray(_mont_consts_u32(moduli))
 
         self.with_twiddle = twiddle_mont is not None
         if self.with_twiddle:
@@ -329,8 +582,10 @@ class PallasStage:
         L, K = self.L, self.k
         batched = self.side == "batched_left"
         lead = 2 if batched else 1
+        n_planes = len(self.scheme.combos)
         kern = functools.partial(
-            _stage_kernel, chunks=self.chunks, with_twiddle=self.with_twiddle,
+            _stage_kernel, scheme=self.scheme, bias_bits=self.bias_bits,
+            neg_c_words=self.neg_c_words, with_twiddle=self.with_twiddle,
             side="right" if self.side == "right" else "left",
             pair_pack=self.pair_pack, lead=lead)
         assert rows % tile == 0
@@ -339,7 +594,7 @@ class PallasStage:
                                       memory_space=pltpu.VMEM)
         if self.side == "right":
             grid = (L, nt)
-            tch_spec = pl.BlockSpec((1, self.chunks, self.w, K),
+            tch_spec = pl.BlockSpec((1, n_planes, self.w, K),
                                     lambda l, r: (l, 0, 0, 0),
                                     memory_space=pltpu.VMEM)
             sc_spec = pl.BlockSpec((1, 1, 4), lambda l, r: (l, 0, 0),
@@ -360,7 +615,7 @@ class PallasStage:
                 tw_spec = tw_placeholder
         elif self.side == "left":
             grid = (L, nt)
-            tch_spec = pl.BlockSpec((1, self.chunks, self.w, K),
+            tch_spec = pl.BlockSpec((1, n_planes, self.w, K),
                                     lambda l, m: (l, 0, 0, 0),
                                     memory_space=pltpu.VMEM)
             sc_spec = pl.BlockSpec((1, 1, 4), lambda l, m: (l, 0, 0),
@@ -373,7 +628,7 @@ class PallasStage:
             tw_spec = tw_placeholder
         else:  # batched_left
             grid = (L, batch, nt)
-            tch_spec = pl.BlockSpec((1, self.chunks, self.w, K),
+            tch_spec = pl.BlockSpec((1, n_planes, self.w, K),
                                     lambda l, b, m: (l, 0, 0, 0),
                                     memory_space=pltpu.VMEM)
             sc_spec = pl.BlockSpec((1, 1, 4), lambda l, b, m: (l, 0, 0),
@@ -489,38 +744,79 @@ class PallasFourStepNTT:
                     twf[l, k1, i2] = pow(w_n, i2 * k1 % n, q) * p2 % q * r_mod % q
                     twi[l, k1, i2] = pow(w_inv, i2 * k1 % n, q) * p2i % q * r_mod % q
         mods = plan.moduli
-        self._s1f = PallasStage(t1f, mods, twiddle_mont=twf,
-                                row_tile=row_tile, side="batched_left")
-        self._s2f = PallasStage(t2f, mods, row_tile=row_tile)
-        self._s2i = PallasStage(t2i, mods, twiddle_mont=twi,
-                                row_tile=row_tile)
-        self._s1i = PallasStage(t1i, mods, row_tile=row_tile,
-                                side="batched_left")
+        bits = max(int(q).bit_length() for q in mods)
+        (self._scheme, self._bias_bits, self._negc,
+         self._pp) = _plan_scheme(n1, bits)
+        combos = self._scheme.combos
+        self._t1f = jnp.asarray(_split_tables(t1f, mods, combos))
+        self._t2f = jnp.asarray(_split_tables(t2f, mods, combos))
+        self._t1i = jnp.asarray(_split_tables(t1i, mods, combos))
+        self._t2i = jnp.asarray(_split_tables(t2i, mods, combos))
+        self._twf = (jnp.asarray((twf >> np.uint64(32)).astype(np.uint32)),
+                     jnp.asarray((twf & np.uint64(0xFFFFFFFF))
+                                 .astype(np.uint32)))
+        self._twi = (jnp.asarray((twi >> np.uint64(32)).astype(np.uint32)),
+                     jnp.asarray((twi & np.uint64(0xFFFFFFFF))
+                                 .astype(np.uint32)))
+        self._sc = jnp.asarray(_mont_consts_u32(mods))
+        self.L = len(mods)
 
-    def forward_pair(self, lo: jnp.ndarray, hi: jnp.ndarray
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """[L, B, N] u32 lo/hi planes -> four-step-order spectrum planes."""
+    @functools.lru_cache(maxsize=8)
+    def _fused_call(self, B: int, direction: str):
+        p = self.plan
+        L, n1, n2 = self.L, p.n1, p.n2
+        n_planes = len(self._scheme.combos)
+        sides = ("left", "right") if direction == "fwd" else ("right", "left")
+        kern = functools.partial(
+            _fused_ntt_kernel, scheme=self._scheme, bias_bits=self._bias_bits,
+            neg_c_words=self._negc, pair_pack=self._pp, sides=sides)
+        data_spec = pl.BlockSpec((1, 1, n1, n2), lambda l, b: (l, b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        tbl_spec = pl.BlockSpec((1, n_planes, n1, n1),
+                                lambda l, b: (l, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        tw_spec = pl.BlockSpec((1, 1, n1, n2), lambda l, b: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, b: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(L, B),
+            in_specs=[data_spec, data_spec, tbl_spec, tbl_spec,
+                      tw_spec, tw_spec, sc_spec],
+            out_specs=(data_spec, data_spec),
+            out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
+                       jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
+            interpret=jax.default_backend() == "cpu",
+        )
+
+    def _run(self, lo, hi, direction):
         p = self.plan
         L, B = lo.shape[0], lo.shape[1]
         lo4 = lo.reshape(L, B, p.n1, p.n2)
         hi4 = hi.reshape(L, B, p.n1, p.n2)
-        lo4, hi4 = self._s1f(lo4, hi4)                       # [L,B,k1,i2] * tw
-        lo2 = lo4.reshape(L, B * p.n1, p.n2)
-        hi2 = hi4.reshape(L, B * p.n1, p.n2)
-        lo2, hi2 = self._s2f(lo2, hi2)                       # cols k2
-        return (lo2.reshape(L, B, p.n), hi2.reshape(L, B, p.n))
+        if direction == "fwd":
+            tA, tB = self._t1f, self._t2f
+            twh, twl = self._twf
+        else:
+            tA, tB = self._t2i, self._t1i
+            twh, twl = self._twi
+        call = self._fused_call(B, direction)
+        twl4 = twl.reshape(L, 1, p.n1, p.n2)
+        twh4 = twh.reshape(L, 1, p.n1, p.n2)
+        with jax.enable_x64(False):
+            olo, ohi = call(lo4, hi4, tA, tB, twl4, twh4, self._sc)
+        return olo.reshape(L, B, p.n), ohi.reshape(L, B, p.n)
+
+    def forward_pair(self, lo: jnp.ndarray, hi: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[L, B, N] u32 lo/hi planes -> four-step-order spectrum planes.
+        Both stages run inside ONE fused kernel per (limb, batch) tile."""
+        return self._run(lo, hi, "fwd")
 
     def inverse_pair(self, lo: jnp.ndarray, hi: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        p = self.plan
-        L, B = lo.shape[0], lo.shape[1]
-        lo2 = lo.reshape(L, B * p.n1, p.n2)
-        hi2 = hi.reshape(L, B * p.n1, p.n2)
-        lo2, hi2 = self._s2i(lo2, hi2)                       # cols i2, * tw
-        lo4 = lo2.reshape(L, B, p.n1, p.n2)
-        hi4 = hi2.reshape(L, B, p.n1, p.n2)
-        lo4, hi4 = self._s1i(lo4, hi4)                       # rows i1
-        return (lo4.reshape(L, B, p.n), hi4.reshape(L, B, p.n))
+        return self._run(lo, hi, "inv")
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """[L, B, N] u64 -> four-step-order spectrum (u64 wrapper)."""
