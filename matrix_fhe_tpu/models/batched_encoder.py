@@ -45,10 +45,26 @@ class BatchedEncoder:
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Inverse of encode_to_wntt_eval (the plaintext half of
         decode_eval_pair_to_complex, HE.cu:1619-1689): W-CRT inverse, exact
-        CRT compose / Delta, complex W-DFT, per-lane XY decode."""
-        cr = self.wt.inverse(ev_re)
-        ci = self.wt.inverse(ev_im)
-        fr, fi = self.encoder.dequantize_exact(cr, ci)       # [W, n, n] f64
+        CRT compose / Delta, complex W-DFT, per-lane XY decode.
+
+        Fast path: the W-CRT inverse runs with M_l^{-1} folded into its
+        tables and the centered compose/Delta happens via the float-exact
+        mod-2^64 fold (ops/ddfloat.compose_scaled_to_float) instead of the
+        7-limb big-int chain — bit-different in f64 ulps only."""
+        if self.encoder.fast_float:
+            from ..ops.ddfloat import compose_scaled_to_float
+            p = self.params
+            big_q = 1
+            for q in p.moduli:
+                big_q *= int(q)
+            sr = self.wt.inverse_scaled(ev_re)
+            si = self.wt.inverse_scaled(ev_im)
+            fr = compose_scaled_to_float(sr, p.moduli, big_q, p.delta)
+            fi = compose_scaled_to_float(si, p.moduli, big_q, p.delta)
+        else:
+            cr = self.wt.inverse(ev_re)
+            ci = self.wt.inverse(ev_im)
+            fr, fi = self.encoder.dequantize_exact(cr, ci)   # [W, n, n] f64
         er, ei = self.wt.dft_forward_pair(fr, fi)
         return self.encoder.dft2(er, ei)
 

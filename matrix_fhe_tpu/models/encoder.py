@@ -37,7 +37,10 @@ def _cm(ar, ai, br, bi) -> Tuple[jnp.ndarray, jnp.ndarray]:
 class Encoder:
     """sigma-embedding over one (or a batch of) n x n complex matrices."""
 
-    def __init__(self, params: GLParams, tables: GLTables | None = None):
+    def __init__(self, params: GLParams, tables: GLTables | None = None,
+                 fast_float: bool | None = None):
+        from ..ops.ddfloat import fast_float_default
+
         self.params = params
         t = tables or build_tables(params)
         self.tables = t
@@ -46,18 +49,28 @@ class Encoder:
         self._vi_re = jnp.asarray(t.enc_v_inv.real)
         self._vi_im = jnp.asarray(t.enc_v_inv.imag)
         self._composer = CRTComposer(t)
+        self.fast_float = (fast_float_default() if fast_float is None
+                           else fast_float)
+
+    def _cm(self, ar, ai, br, bi):
+        if self.fast_float:
+            from ..ops.ddfloat import dd_cmatmul
+            return dd_cmatmul(ar, ai, br, bi)
+        return _cm(ar, ai, br, bi)
 
     # -- complex transforms (batch over leading dims) -------------------------
 
     def idft2(self, m_re, m_im) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """V^-1 @ M @ (V^-1)^T  (encoder.cu:460-467)."""
-        tr, ti = _cm(self._vi_re, self._vi_im, m_re.astype(F64), m_im.astype(F64))
-        return _cm(tr, ti, self._vi_re.T, self._vi_im.T)
+        tr, ti = self._cm(self._vi_re, self._vi_im,
+                          m_re.astype(F64), m_im.astype(F64))
+        return self._cm(tr, ti, self._vi_re.T, self._vi_im.T)
 
     def dft2(self, e_re, e_im) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """V @ E @ V^T  (decode_from_eval_complex, encoder.cu:492-501)."""
-        tr, ti = _cm(self._v_re, self._v_im, e_re.astype(F64), e_im.astype(F64))
-        return _cm(tr, ti, self._v_re.T, self._v_im.T)
+        tr, ti = self._cm(self._v_re, self._v_im,
+                          e_re.astype(F64), e_im.astype(F64))
+        return self._cm(tr, ti, self._v_re.T, self._v_im.T)
 
     # -- quantize / RNS ---------------------------------------------------------
 
@@ -65,6 +78,15 @@ class Encoder:
         """llround(x * Delta) split into RNS limbs: [..., n, n] f64 ->
         [L, ..., n, n] uint64 (quantize_soa_kernel, encoder.cu:36-50)."""
         delta = np.float64(self.params.delta)
+        if self.fast_float:
+            # pure-f64 exact path: avoids XLA's emulated 64-bit int modulo
+            # (valid while |x*Delta| < 2^52; ref magnitudes are ~2^46)
+            from ..ops.ddfloat import f64_mod_to_u64, llround_f64
+            vr = llround_f64(c_re * delta)
+            vi = llround_f64(c_im * delta)
+            outs_r = [f64_mod_to_u64(vr, int(q)) for q in self.params.moduli]
+            outs_i = [f64_mod_to_u64(vi, int(q)) for q in self.params.moduli]
+            return jnp.stack(outs_r), jnp.stack(outs_i)
         ir = llround(c_re * delta)
         ii = llround(c_im * delta)
         outs_r, outs_i = [], []

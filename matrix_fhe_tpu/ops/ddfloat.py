@@ -1,0 +1,166 @@
+"""Double-float32 (hi+lo split) matrix products for the complex transform
+paths, and f64-exact integer helpers.
+
+TPU has no native f64: XLA emulates every f64 multiply in software, which
+makes the encoder's complex matmuls (sigma-embedding V E V^T, 512-point
+W-DFT) the dominant pipeline cost.  Splitting each f64 operand into
+(f32 hi, f32 lo = x - hi) and forming
+
+    a @ b  ~=  sum_chunks f64(ah @ bh) + f64(ah @ bl + al @ bh)
+
+runs on the MXU: the hi*hi term is K-chunked with float64 combination so
+the f32 accumulator never sees more than `K_CHUNK` terms (error ~2^-21 per
+chunk, ~2^-20 total), and the cross terms are 2^-24-scaled so plain f32
+accumulation suffices.  The dropped lo*lo term is ~2^-48.  End-to-end this
+gives ~1e-6 absolute transform error — far inside the scheme's 1e-4
+pipeline budget (src/main.cu:150) — at bf16-pipeline speed instead of
+software-f64 speed.
+
+The exact-f64 paths (models/encoder.py, ops/crt.py) remain the oracles;
+this module is the TPU fast path (MFHE_FAST_FLOAT=0 disables).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32 = jnp.float32
+F64 = jnp.float64
+K_CHUNK = 64
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def fast_float_default() -> bool:
+    env = os.environ.get("MFHE_FAST_FLOAT", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _split(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    hi = x.astype(F32)
+    lo = (x - hi.astype(F64)).astype(F32)
+    return hi, lo
+
+
+def dd_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """einsum('...ij,...jk->...ik', a, b) for f64 inputs via split-f32 MXU
+    products; returns f64 with ~2^-20 relative accuracy."""
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    k = a.shape[-1]
+    kc = min(K_CHUNK, k)
+    ein = lambda x, y: jnp.einsum("...ij,...jk->...ik", x, y,
+                                  precision=_HIGHEST,
+                                  preferred_element_type=F32)
+    main = None
+    for c in range(0, k, kc):
+        p = ein(ah[..., :, c:c + kc], bh[..., c:c + kc, :]).astype(F64)
+        main = p if main is None else main + p
+    cross = ein(ah, bl) + ein(al, bh)
+    return main + cross.astype(F64)
+
+
+def dd_cmatmul(ar, ai, br, bi) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex einsum('...ij,...jk->...ik') on f64 re/im parts."""
+    rr = dd_matmul(ar, br) - dd_matmul(ai, bi)
+    ri = dd_matmul(ar, bi) + dd_matmul(ai, br)
+    return rr, ri
+
+
+def llround_f64(x: jnp.ndarray) -> jnp.ndarray:
+    """llround semantics (round half away from zero), result kept in f64
+    (exact for |x| < 2^52)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def f64_mod_to_u64(v: jnp.ndarray, q: int) -> jnp.ndarray:
+    """(integer-valued f64 v) mod q as uint64, exactly, without 64-bit
+    integer ops.  Requires |v| < 2^52 / small-quotient bounds: |v|/q < 2^20.
+    All intermediate f64 products are integers < 2^53, hence exact."""
+    inv = np.float64(1.0) / np.float64(q)
+    t = jnp.floor(v * inv)
+    m = v - t * np.float64(q)
+    m = jnp.where(m < 0, m + q, m)
+    m = jnp.where(m >= q, m - q, m)
+    hi = jnp.floor(m * np.float64(2.0 ** -32))
+    lo = m - hi * np.float64(2.0 ** 32)
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+
+
+def u64_pair_f64(x: jnp.ndarray) -> jnp.ndarray:
+    """uint64 -> f64 without emulated u64->f64 conversion."""
+    lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(F64)
+    hi = (x >> jnp.uint64(32)).astype(jnp.uint32).astype(F64)
+    return lo + hi * np.float64(2.0 ** 32)
+
+
+def _mullo64_xla(al, ah, bl32: int, bh32: int):
+    """(a * b) mod 2^64 on u32 planes, b a host constant."""
+    m16 = np.uint32(0xFFFF)
+    b0 = np.uint32(bl32 & 0xFFFF)
+    b1 = np.uint32(bl32 >> 16)
+    a0 = al & m16
+    a1 = al >> np.uint32(16)
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = (ll >> np.uint32(16)) + (lh & m16) + (hl & m16)
+    lo = (ll & m16) | (mid << np.uint32(16))
+    hi = hh + (lh >> np.uint32(16)) + (hl >> np.uint32(16)) \
+        + (mid >> np.uint32(16))
+    hi = hi + al * np.uint32(bh32) + ah * np.uint32(bl32)
+    return lo, hi
+
+
+def _add64_xla(al, ah, bl, bh):
+    lo = al + bl
+    hi = ah + bh + (lo < al).astype(jnp.uint32)
+    return lo, hi
+
+
+def compose_scaled_to_float(r_scaled: jnp.ndarray, moduli, big_q: int,
+                            delta: float) -> jnp.ndarray:
+    """Exact centered CRT compose / delta for PRE-SCALED residues
+    r'_l = (x * M_l^{-1} mod q_l)  (the M^{-1} factor is folded into the
+    W-CRT inverse tables by WTransform.inverse_scaled).
+
+    Identity: sum_l r'_l * M_l = x + k*Q with k = round(sum_l r'_l / q_l)
+    (the fractional part is x/Q ~ 2^-350, so f64 rounding is safe by ~50
+    bits).  Since |x| <~ Delta * msg << 2^63, x is recovered exactly from
+    its value mod 2^64, computed with u32-plane arithmetic.  This replaces
+    the reference's 7-limb big-int fold (HE.cu:1007-1027) on the fast path.
+    """
+    L = r_scaled.shape[0]
+    lo32 = (r_scaled & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi32 = (r_scaled >> jnp.uint64(32)).astype(jnp.uint32)
+    acc_l = acc_h = None
+    ksum = None
+    for l in range(L):
+        q = int(moduli[l])
+        m64 = (big_q // q) % (1 << 64)
+        pl, ph = _mullo64_xla(lo32[l], hi32[l], m64 & 0xFFFFFFFF, m64 >> 32)
+        if acc_l is None:
+            acc_l, acc_h = pl, ph
+        else:
+            acc_l, acc_h = _add64_xla(acc_l, acc_h, pl, ph)
+        term = (lo32[l].astype(F64)
+                + hi32[l].astype(F64) * np.float64(2.0 ** 32)) / np.float64(q)
+        ksum = term if ksum is None else ksum + term
+    k = jnp.round(ksum).astype(jnp.uint32)
+    q64 = big_q % (1 << 64)
+    kl, kh = _mullo64_xla(k, jnp.zeros_like(k), q64 & 0xFFFFFFFF, q64 >> 32)
+    # y = acc - k*Q (mod 2^64)
+    borrow = (acc_l < kl).astype(jnp.uint32)
+    yl = acc_l - kl
+    yh = acc_h - kh - borrow
+    # centered signed interpretation (|x| << 2^63)
+    v = yl.astype(F64) + jax.lax.bitcast_convert_type(
+        yh, jnp.int32).astype(F64) * np.float64(2.0 ** 32)
+    return v / np.float64(delta)

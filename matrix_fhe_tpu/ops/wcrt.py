@@ -17,6 +17,7 @@ batched MXU dots and for zero-communication limb sharding.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -37,9 +38,14 @@ class WTransform:
     """
 
     def __init__(self, params: GLParams, tables: GLTables | None = None,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 fast_float: bool | None = None):
         import jax
 
+        from .ddfloat import fast_float_default
+
+        self._fast_float = (fast_float_default() if fast_float is None
+                            else fast_float)
         self.params = params
         t = tables or build_tables(params)
         self.tables = t
@@ -62,6 +68,8 @@ class WTransform:
                            for lo, hi, _ in self._runs]
 
         self._composer = CRTComposer(t)
+        if self._fast_float:
+            self._inv_scaled  # materialize eagerly (never inside a trace)
         # complex tables as separate f64 re/im parts
         self._dft_re = jnp.asarray(t.wdft.real)
         self._dft_im = jnp.asarray(t.wdft.imag)
@@ -94,6 +102,37 @@ class WTransform:
         if self._inv_p is not None and flat.shape[-1] % 8 == 0:
             return self._apply_pallas(self._inv_p, flat).reshape(x.shape)
         return self._inv(flat).reshape(x.shape)
+
+    @functools.cached_property
+    def _inv_scaled(self):
+        """Inverse-transform stages with the CRT constant M_l^{-1} mod q_l
+        folded into the tables, so the fast float-exact decode compose
+        (ops/ddfloat.compose_scaled_to_float) needs no per-element modmul.
+        NOTE: must be materialized OUTSIDE any jit trace (jnp constants are
+        created here); __init__ touches it eagerly on the fast path."""
+        t = self.tables
+        p = self.params
+        scaled = np.empty_like(t.w_inv)
+        for l, q in enumerate(p.moduli):
+            q = int(q)
+            scaled[l] = (t.w_inv[l].astype(object) * int(t.crt_inv[l]) % q
+                         ).astype(np.uint64)
+        if self._use_pallas:
+            from .pallas_ntt import PallasStage
+            return [PallasStage(scaled[lo:hi], p.moduli[lo:hi], side="left")
+                    for lo, hi, _ in self._runs]
+        return BatchedModTransform(scaled, p.moduli, side="left")
+
+    def inverse_scaled(self, x: jnp.ndarray) -> jnp.ndarray:
+        """inverse() with outputs pre-multiplied by M_l^{-1} mod q_l."""
+        L, W = x.shape[0], x.shape[1]
+        flat = x.reshape(L, W, -1)
+        st = self._inv_scaled
+        if self._use_pallas and flat.shape[-1] % 8 == 0:
+            return self._apply_pallas(st, flat).reshape(x.shape)
+        if self._use_pallas:
+            raise ValueError("inverse_scaled needs M % 8 == 0 on TPU")
+        return st(flat).reshape(x.shape)
 
     # -- centered-integer path (test oracles; HE.cu:1029-1114) ----------------
 
@@ -131,7 +170,11 @@ class WTransform:
     # -- complex path ----------------------------------------------------------
 
     def _cmatmul(self, mr, mi, xr, xi) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Complex [W,W] @ [W,M] as four real f64 matmuls."""
+        """Complex [W,W] @ [W,M] as four real f64 matmuls (split-f32 MXU
+        products on the fast path; see ops/ddfloat.py)."""
+        if self._fast_float:
+            from .ddfloat import dd_cmatmul
+            return dd_cmatmul(mr, mi, xr, xi)
         yr = mr @ xr - mi @ xi
         yi = mr @ xi + mi @ xr
         return yr, yi
