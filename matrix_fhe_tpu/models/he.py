@@ -119,9 +119,7 @@ class HEContext:
         (encrypt_pair, HE.cu:1455-1552)."""
         c = self._c4
         a_eval = self.wt.forward(a_coeff)
-        a_ntt = self.xntt.forward(a_eval)
-        t_ntt = self._pointwise_mul_s(a_ntt, sk.s_mont)
-        t = self.xntt.inverse(t_ntt)
+        t = self.xntt.mul_s(a_eval, sk.s_mont)
         cts = []
         for m, e_coeff in zip(msgs, noises):
             if self.zero_noise:
@@ -238,8 +236,7 @@ class HEContext:
 
     def _decrypt_fn(self, ct: Ciphertext, sk: SecretKey):
         c = self._c4
-        a_ntt = self.xntt.forward(ct.a)
-        t = self.xntt.inverse(self._pointwise_mul_s(a_ntt, sk.s_mont))
+        t = self.xntt.mul_s(ct.a, sk.s_mont)
         return mm.add_mod(ct.b, t, c["q"])
 
     @functools.cached_property

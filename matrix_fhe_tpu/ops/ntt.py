@@ -55,22 +55,44 @@ class XNTT:
                             if use_pallas is None else use_pallas)
         self._fwd_p = self._inv_p = None
         if self._use_pallas:
+            import numpy as np
+
             from .modmatmul import limb_runs
             from .pallas_ntt import PallasStage
             self._runs = limb_runs(params.moduli)
+            # n < 128 wastes half of every (8,128) vreg in the fold and half
+            # the MXU contraction lanes; pack `pack` adjacent polynomials
+            # side by side (a free reshape) against block-diagonal tables
+            n = params.n
+            self._pack = max(1, 128 // n)
+            if self._pack > 1:
+                eye = np.eye(self._pack, dtype=np.uint64)
+                fwd = np.stack([np.kron(eye, fwd[l]) for l in range(len(fwd))])
+                inv = np.stack([np.kron(eye, inv[l]) for l in range(len(inv))])
             self._fwd_p = [PallasStage(fwd[lo:hi], params.moduli[lo:hi],
                                        side="right")
                            for lo, hi, _ in self._runs]
             self._inv_p = [PallasStage(inv[lo:hi], params.moduli[lo:hi],
                                        side="right")
                            for lo, hi, _ in self._runs]
+            self._mul_s_p = None
+            if n % self._pack == 0:
+                from .pallas_ntt import PallasNttMulNtt
+                rep = n // self._pack
+                self._mul_s_p = [
+                    PallasNttMulNtt(fwd[lo:hi], inv[lo:hi],
+                                    params.moduli[lo:hi], rep=rep)
+                    for lo, hi, _ in self._runs]
 
     def _apply(self, trans, stages, x: jnp.ndarray) -> jnp.ndarray:
         L = x.shape[0]
         n = x.shape[-1]
         flat = x.reshape(L, -1, n)
-        if stages is not None and flat.shape[1] % 8 == 0:
+        rows = flat.shape[1]
+        if (stages is not None and rows % (8 * self._pack) == 0):
             from .pallas_ntt import join_u64, split_u64
+            if self._pack > 1:
+                flat = flat.reshape(L, rows // self._pack, n * self._pack)
             outs = []
             for (lo, hi, _), st in zip(self._runs, stages):
                 dlo, dhi = split_u64(flat[lo:hi])
@@ -85,6 +107,45 @@ class XNTT:
 
     def inverse(self, x: jnp.ndarray) -> jnp.ndarray:
         return self._apply(self._inv, self._inv_p, x)
+
+    def mul_s(self, a: jnp.ndarray, s_mont: jnp.ndarray) -> jnp.ndarray:
+        """t = iNTT_X(NTT_X(a) * s), the encrypt/decrypt hot path
+        (pointwise_mul_s_kernel + xy NTT round trip, HE.cu:509-531,
+        1509-1526).  a: [L, W, n, n] u64 X-coeff; s_mont: [L, W, n] u64,
+        X-NTT domain, Montgomery form.  On TPU this is ONE fused Pallas
+        kernel per limb run (the NTT spectrum never leaves VMEM)."""
+        import numpy as np
+
+        from ..ops import modmath as mm
+
+        n = a.shape[-1]
+        L, W = a.shape[0], a.shape[1]
+        pack = getattr(self, "_pack", 1)
+        fused = (getattr(self, "_mul_s_p", None) is not None
+                 and a.ndim == 4 and a.shape[2] == n and n % pack == 0)
+        if not fused:
+            q = jnp.asarray(np.asarray(self.params.moduli, np.uint64)
+                            ).reshape((L,) + (1,) * (a.ndim - 1))
+            qinv = jnp.asarray(np.array(
+                [mm.MontConsts.make(int(m)).qinv_neg
+                 for m in self.params.moduli], np.uint64)
+                ).reshape((L,) + (1,) * (a.ndim - 1))
+            s_b = s_mont.reshape(s_mont.shape[:2] + (1,) * (a.ndim - 3)
+                                 + (n,))
+            t_ntt = mm.mont_mul(self.forward(a), s_b, q, qinv)
+            return self.inverse(t_ntt)
+        from .pallas_ntt import join_u64, split_u64
+        kp = n * pack
+        flat = a.reshape(L, W * n // pack, kp)
+        s2 = jnp.tile(s_mont, (1, 1, pack))              # [L, W, kp]
+        outs = []
+        for (lo, hi, _), st in zip(self._runs, self._mul_s_p):
+            dlo, dhi = split_u64(flat[lo:hi])
+            slo, shi = split_u64(s2[lo:hi])
+            olo, ohi = st(dlo, dhi, slo, shi)
+            outs.append(join_u64(olo, ohi))
+        out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        return out.reshape(a.shape)
 
     def wrap_constant(self, limb: int) -> int:
         """The X^n wraparound constant of this ring mod q_limb: q-1 for

@@ -458,6 +458,94 @@ def _fused_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twlo_ref, twhi_ref,
     ohi_ref[0, 0] = rh
 
 
+def _ntt_mul_ntt_kernel(dlo_ref, dhi_ref, slo_ref, shi_ref, tf_ref, ti_ref,
+                        sc_ref, olo_ref, ohi_ref,
+                        *, scheme, bias_bits: int, neg_c_words,
+                        pair_pack: bool, rep: int):
+    """iNTT_X(NTT_X(a) * s) on one row tile, all in VMEM: the X-NTT
+    pointwise-multiply round trip of encrypt/decrypt (pointwise_mul_s_kernel
+    + xy_ntt_forward/backward, HE.cu:509-531,1509-1526) as ONE kernel.
+    s is Montgomery-domain, one row per w (replicated x`rep` to data rows).
+    """
+    qc = (sc_ref[0, 0, 1], sc_ref[0, 0, 0], sc_ref[0, 0, 3], sc_ref[0, 0, 2])
+    kw = dict(scheme=scheme, bias_bits=bias_bits, neg_c_words=neg_c_words,
+              pair_pack=pair_pack, side="right", tw=None)
+    vh, vl = _mod_matmul_tile(dlo_ref[0], dhi_ref[0],
+                              lambda i: tf_ref[0, i], qc, **kw)
+    sl = slo_ref[0]
+    sh = shi_ref[0]
+    if rep > 1:
+        tw_rows, k = sl.shape
+        sl = jnp.broadcast_to(sl[:, None, :], (tw_rows, rep, k)
+                              ).reshape(tw_rows * rep, k)
+        sh = jnp.broadcast_to(sh[:, None, :], (tw_rows, rep, k)
+                              ).reshape(tw_rows * rep, k)
+    th, tl = _montmul48(vh, vl, sh, sl, *qc)
+    rh, rl = _mod_matmul_tile(tl, th, lambda i: ti_ref[0, i], qc, **kw)
+    olo_ref[0] = rl
+    ohi_ref[0] = rh
+
+
+class PallasNttMulNtt:
+    """Fused t = iNTT_X(NTT_X(a) * s) over [L, R, K] row-major data (K the
+    X axis, possibly lane-packed by the caller); s [L, W, K] with
+    R = W * rep."""
+
+    def __init__(self, fwd_tables: np.ndarray, inv_tables: np.ndarray,
+                 moduli, rep: int, row_tile: int = 256):
+        L, W, K = fwd_tables.shape
+        assert W == K and inv_tables.shape == fwd_tables.shape
+        self.L, self.k = L, K
+        self.rep = rep
+        self.row_tile = max(rep, row_tile // rep * rep)
+        bits = max(int(q).bit_length() for q in moduli)
+        (self.scheme, self.bias_bits, self.neg_c_words,
+         self.pair_pack) = _plan_scheme(K, bits)
+        self._tf = jnp.asarray(_split_tables(fwd_tables, moduli,
+                                             self.scheme.combos))
+        self._ti = jnp.asarray(_split_tables(inv_tables, moduli,
+                                             self.scheme.combos))
+        self._sc = jnp.asarray(_mont_consts_u32(moduli))
+
+    @functools.lru_cache(maxsize=8)
+    def _call(self, rows: int, tile: int):
+        L, K = self.L, self.k
+        n_planes = len(self.scheme.combos)
+        kern = functools.partial(
+            _ntt_mul_ntt_kernel, scheme=self.scheme, bias_bits=self.bias_bits,
+            neg_c_words=self.neg_c_words, pair_pack=self.pair_pack,
+            rep=self.rep)
+        nt = rows // tile
+        tw = tile // self.rep
+        data_spec = pl.BlockSpec((1, tile, K), lambda l, r: (l, r, 0),
+                                 memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, tw, K), lambda l, r: (l, r, 0),
+                              memory_space=pltpu.VMEM)
+        tbl_spec = pl.BlockSpec((1, n_planes, K, K), lambda l, r: (l, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, r: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(L, nt),
+            in_specs=[data_spec, data_spec, s_spec, s_spec,
+                      tbl_spec, tbl_spec, sc_spec],
+            out_specs=(data_spec, data_spec),
+            out_shape=(jax.ShapeDtypeStruct((L, rows, K), jnp.uint32),
+                       jax.ShapeDtypeStruct((L, rows, K), jnp.uint32)),
+            interpret=jax.default_backend() == "cpu",
+        )
+
+    def __call__(self, d_lo, d_hi, s_lo, s_hi):
+        rows = d_lo.shape[1]
+        tile = min(self.row_tile, rows)
+        while rows % tile or tile % self.rep:
+            tile -= self.rep
+        call = self._call(rows, tile)
+        with jax.enable_x64(False):
+            return call(d_lo, d_hi, s_lo, s_hi, self._tf, self._ti, self._sc)
+
+
 def _plan_scheme(K: int, bits: int):
     """Pick the digit-product scheme and packer constants for a modular
     matmul with contraction length K over `bits`-wide moduli."""

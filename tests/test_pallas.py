@@ -99,3 +99,25 @@ def test_split_join_u64(rng):
     x = jnp.asarray(rng.integers(0, 1 << 64, size=64, dtype=np.uint64))
     lo, hi = pn.split_u64(x)
     assert (np.asarray(pn.join_u64(lo, hi)) == np.asarray(x)).all()
+
+
+def test_fused_mul_s_matches_composition(rng):
+    """iNTT(NTT(a) * s) fused kernel vs the unfused composition."""
+    from matrix_fhe_tpu.config import get_params
+    from matrix_fhe_tpu.ops.ntt import XNTT
+    from matrix_fhe_tpu.ops import modmath as mm
+    from matrix_fhe_tpu.ops.modmath import MontConsts
+
+    p = get_params("small")   # n=16, pack=8, rep=2
+    xp = XNTT(p, use_pallas=True)    # interpret mode on CPU
+    xr = XNTT(p, use_pallas=False)
+    L, W, n = len(p.moduli), p.phi, p.n
+    a = jnp.asarray(np.stack(
+        [rng.integers(0, q, size=(W, n, n), dtype=np.uint64)
+         for q in p.moduli]))
+    s = jnp.asarray(np.stack(
+        [rng.integers(0, q, size=(W, n), dtype=np.uint64)
+         for q in p.moduli]))
+    got = np.asarray(xp.mul_s(a, s))
+    want = np.asarray(xr.mul_s(a, s))
+    assert (got == want).all()
