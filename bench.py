@@ -46,7 +46,8 @@ def main():
     N = 1 << 16
     L = 16
     B = int(os.environ.get("BENCH_BATCH", "128"))
-    ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+    # ~30 ms fixed device_get fence amortizes over the chained iterations
+    ITERS = int(os.environ.get("BENCH_ITERS", "40"))
     primes = generate_primes_1mod(L, 35, 2 * N)
     plan = FourStepPlan.make(N, primes)
     if os.environ.get("BENCH_IMPL", "pallas") == "pallas":
