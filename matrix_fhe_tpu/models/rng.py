@@ -49,16 +49,85 @@ def _moduli_col(params: GLParams, extra_dims: int) -> jnp.ndarray:
 def uniform_a(params: GLParams) -> jnp.ndarray:
     """Reference-exact uniform polynomial in W-coeff domain, [L, W, n, n].
 
-    Bit-for-bit port of uniform_random_kernel (HE.cu:564-578): the LCG seed is
-    the flat index in the reference's [W][L][y][x] layout.
+    Bit-for-bit port of uniform_random_kernel (HE.cu:564-578): the LCG seed
+    is the flat index in the reference's [W][L][y][x] layout.  Implemented
+    in u32-pair arithmetic with a float-assisted Barrett quotient (exact
+    after sign/range corrections) — XLA's emulated 64-bit modulo is ~5x
+    slower on TPU.
     """
-    L, n = params.num_limbs, params.n
-    l, w, y, x = _iota4(params)
-    idx_ref = ((w * np.uint64(L) + l) * np.uint64(n * n)
-               + y * np.uint64(n) + x)
-    seed = np.uint64(123456789) + idx_ref
-    seed = seed * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
-    return seed % _moduli_col(params, 3)
+    U32 = jnp.uint32
+    L, W, n = params.num_limbs, params.phi, params.n
+    if min(int(q) for q in params.moduli) < (1 << 33):
+        # quotient would overflow u32; small-parameter sets use the plain
+        # u64 modulo (they are test-scale anyway)
+        l, w, y, x = _iota4(params)
+        idx_ref = ((w * np.uint64(L) + l) * np.uint64(n * n)
+                   + y * np.uint64(n) + x)
+        seed = np.uint64(123456789) + idx_ref
+        seed = (seed * np.uint64(6364136223846793005)
+                + np.uint64(1442695040888963407))
+        return seed % _moduli_col(params, 3)
+    shape = (L, W, n, n)
+    l = jax.lax.broadcasted_iota(U32, shape, 0)
+    w = jax.lax.broadcasted_iota(U32, shape, 1)
+    y = jax.lax.broadcasted_iota(U32, shape, 2)
+    x = jax.lax.broadcasted_iota(U32, shape, 3)
+    idx = (w * np.uint32(L) + l) * np.uint32(n * n) + y * np.uint32(n) + x
+    s0 = idx + np.uint32(123456789)          # < 2^32: single u32 word
+    c1 = 6364136223846793005
+    c2 = 1442695040888963407
+    # seed = s0 * c1 + c2 (mod 2^64) on u32 pairs
+    m16 = np.uint32(0xFFFF)
+    c1l, c1h = np.uint32(c1 & 0xFFFFFFFF), np.uint32(c1 >> 32)
+    a0 = s0 & m16
+    a1 = s0 >> np.uint32(16)
+    b0 = np.uint32(c1 & 0xFFFF)
+    b1 = np.uint32((c1 >> 16) & 0xFFFF)
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = (ll >> np.uint32(16)) + (lh & m16) + (hl & m16)
+    lo = (ll & m16) | (mid << np.uint32(16))
+    hi = (hh + (lh >> np.uint32(16)) + (hl >> np.uint32(16))
+          + (mid >> np.uint32(16)) + s0 * c1h)
+    lo2 = lo + np.uint32(c2 & 0xFFFFFFFF)
+    hi = hi + np.uint32(c2 >> 32) + (lo2 < lo).astype(U32)
+    lo = lo2
+    # seed mod q per limb: Barrett with f64-assisted quotient, then exact
+    # u32 corrections (quotient is off by at most ~2 either way)
+    qs = np.asarray(params.moduli, dtype=np.uint64)
+    ql = jnp.asarray((qs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                     ).reshape(L, 1, 1, 1)
+    qh = jnp.asarray((qs >> np.uint64(32)).astype(np.uint32)
+                     ).reshape(L, 1, 1, 1)
+    qinv = jnp.asarray(1.0 / qs.astype(np.float64)).reshape(L, 1, 1, 1)
+    f = lo.astype(jnp.float64) + hi.astype(jnp.float64) * np.float64(2.0**32)
+    t = jnp.maximum(f * qinv - 2.0, 0.0)
+    t32 = t.astype(U32)                       # quotient < 2^31 for q >= 2^34
+    # r = seed - t*q (two-word), with q < 2^48
+    t0 = t32 & m16
+    t1 = t32 >> np.uint32(16)
+    q0 = ql & m16
+    q1 = ql >> np.uint32(16)
+    pll = t0 * q0
+    plh = t0 * q1
+    phl = t1 * q0
+    phh = t1 * q1
+    pmid = (pll >> np.uint32(16)) + (plh & m16) + (phl & m16)
+    p_lo = (pll & m16) | (pmid << np.uint32(16))
+    p_hi = (phh + (plh >> np.uint32(16)) + (phl >> np.uint32(16))
+            + (pmid >> np.uint32(16)) + t32 * qh)
+    borrow = (lo < p_lo).astype(U32)
+    rl = lo - p_lo
+    rh = hi - p_hi - borrow
+    # up to ~4 subtractions of q remain (quotient was biased low by 2)
+    for _ in range(4):
+        ge = (rh > qh) | ((rh == qh) & (rl >= ql))
+        b = ((rl < ql) & ge).astype(U32)
+        rl = jnp.where(ge, rl - ql, rl)
+        rh = jnp.where(ge, rh - qh - b, rh)
+    return rl.astype(jnp.uint64) | (rh.astype(jnp.uint64) << jnp.uint64(32))
 
 
 def ternary_secret(params: GLParams) -> jnp.ndarray:
