@@ -57,10 +57,10 @@ class BatchedEncoder:
             big_q = 1
             for q in p.moduli:
                 big_q *= int(q)
-            sr = self.wt.inverse_scaled(ev_re)
-            si = self.wt.inverse_scaled(ev_im)
-            fr = compose_scaled_to_float(sr, p.moduli, big_q, p.delta)
-            fi = compose_scaled_to_float(si, p.moduli, big_q, p.delta)
+            both = jnp.stack([ev_re, ev_im], axis=2)         # [L, W, 2, n, n]
+            s2 = self.wt.inverse_scaled(both)
+            f2 = compose_scaled_to_float(s2, p.moduli, big_q, p.delta)
+            fr, fi = f2[:, 0], f2[:, 1]
         else:
             cr = self.wt.inverse(ev_re)
             ci = self.wt.inverse(ev_im)

@@ -230,14 +230,22 @@ class HEContext:
         a_coeff = refrng.uniform_a(self.params)
         e = refrng.gaussian_noise(self.params)
         ct_re, ct_im = self._encrypt_core((pr, pi), sk, a_coeff, (e, e))
-        ev_re = self._decrypt_fn(ct_re, sk)
-        ev_im = self._decrypt_fn(ct_im, sk)
+        ev_re, ev_im = self.decrypt_pair_to_eval(ct_re, ct_im, sk)
         return self.batched_encoder.decode_from_wntt_eval(ev_re, ev_im)
 
     def _decrypt_fn(self, ct: Ciphertext, sk: SecretKey):
         c = self._c4
         t = self.xntt.mul_s(ct.a, sk.s_mont)
         return mm.add_mod(ct.b, t, c["q"])
+
+    def decrypt_pair_to_eval(self, ct_re: Ciphertext, ct_im: Ciphertext,
+                             sk: SecretKey):
+        """Decrypt a pair produced by encrypt_pair, which shares one `a`
+        (HE.cu:1455-1552): a*s is computed once for both halves."""
+        c = self._c4
+        t = self.xntt.mul_s(ct_re.a, sk.s_mont)
+        return (mm.add_mod(ct_re.b, t, c["q"]),
+                mm.add_mod(ct_im.b, t, c["q"]))
 
     @functools.cached_property
     def _roundtrip_jit(self):
