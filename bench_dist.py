@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Multi-device scaling benchmark: NTT throughput and scaling efficiency.
+
+Measures the two parallel decompositions of SURVEY §2's parallelism
+inventory / BASELINE.json's multi-host config:
+
+  * dp (limb/batch)-sharded NTT: embarrassingly parallel, zero-comm —
+    the throughput-scaling configuration;
+  * coefficient-sharded four-step NTT (DistFourStepNTT): one all_to_all
+    stage exchange over ICI — the latency-scaling configuration for a
+    single huge transform (N = 2^17).
+
+With one real chip this falls back to the virtual
+xla_force_host_platform_device_count CPU mesh: that VALIDATES the sharded
+programs end-to-end (compile + execute + bit-exactness vs single-device)
+but is not a hardware performance claim; the printed JSON is labeled
+accordingly.  On a real pod slice the same script reports real scaling
+efficiency (target: >= 85% on 2 hosts, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    os.makedirs(".cache/xla", exist_ok=True)
+    n_want = int(os.environ.get("BENCH_DIST_DEVICES", "8"))
+    # the CPU fallback mesh needs this flag before the CPU client exists;
+    # it is harmless for the TPU path
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_want}"
+        ).strip()
+    import jax
+    if jax.default_backend() != "tpu" or len(jax.devices()) < 2:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        validation_only = True
+    else:
+        validation_only = False
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(".cache/xla"))
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from matrix_fhe_tpu.ops.ntt_large import (FourStepNTT, FourStepPlan,
+                                              generate_primes_1mod)
+    from matrix_fhe_tpu.parallel.dist_ntt import DistFourStepNTT
+
+    devs = (jax.devices("cpu") if validation_only else jax.devices())[:n_want]
+    n_dev = len(devs)
+    mode = "virtual-cpu-validation" if validation_only else "tpu"
+    sys.stderr.write(f"[bench_dist] {n_dev} devices, mode={mode}\n")
+
+    def timed(fn, *args, iters=3):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        _ = jax.device_get(jax.tree.leaves(out)[0].ravel()[:1])
+        return (time.perf_counter() - t0) / iters
+
+    results = {"mode": mode, "devices": n_dev}
+    rng = np.random.default_rng(0)
+
+    # --- dp (limb)-sharded N=2^16 NTT: zero-communication scaling ---------
+    N, L, B = 1 << 16, 16, 8
+    primes = generate_primes_1mod(L, 35, 2 * N)
+    plan = FourStepPlan.make(N, primes)
+    ntt = FourStepNTT(plan)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, size=(B, N), dtype=np.uint64) for q in primes]))
+    mesh1 = Mesh(np.array(devs[:1]), ("limb",))
+    meshN = Mesh(np.array(devs), ("limb",))
+    f1 = jax.jit(ntt.forward,
+                 in_shardings=NamedSharding(mesh1, P("limb", None, None)),
+                 out_shardings=NamedSharding(mesh1, P("limb", None, None)))
+    fN = jax.jit(ntt.forward,
+                 in_shardings=NamedSharding(meshN, P("limb", None, None)),
+                 out_shardings=NamedSharding(meshN, P("limb", None, None)))
+    t1 = timed(f1, x)
+    tN = timed(fN, x)
+    eff = t1 / (tN * n_dev) if tN > 0 else 0.0
+    results["limb_sharded_ntt"] = {
+        "t1_ms": round(t1 * 1e3, 2), f"t{n_dev}_ms": round(tN * 1e3, 2),
+        "scaling_efficiency": round(eff, 3)}
+
+    # exactness: sharded == single-device
+    assert (np.asarray(fN(x)) == np.asarray(f1(x))).all()
+
+    # --- coefficient-sharded N=2^17 with all_to_all stage exchange --------
+    N2 = 1 << 17
+    primes2 = generate_primes_1mod(4, 35, 2 * N2)
+    plan2 = FourStepPlan.make(N2, primes2)
+    x2 = jnp.asarray(np.stack(
+        [rng.integers(0, q, size=(2, N2), dtype=np.uint64)
+         for q in primes2]))
+    meshC = Mesh(np.array(devs), ("coeff",))
+    dist = DistFourStepNTT(plan2, meshC, axis="coeff")
+    base = FourStepNTT(plan2)
+    fb = jax.jit(base.forward)
+    fd = jax.jit(dist.forward)
+    tb = timed(fb, x2)
+    td = timed(fd, x2)
+    assert (np.asarray(fd(x2)) == np.asarray(fb(x2))).all(), \
+        "dist NTT != single-device NTT"
+    results["coeff_sharded_ntt_2e17"] = {
+        "t1_ms": round(tb * 1e3, 2), f"t{n_dev}_ms": round(td * 1e3, 2),
+        "speedup": round(tb / td, 2) if td > 0 else None}
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
