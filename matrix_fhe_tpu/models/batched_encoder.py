@@ -72,3 +72,28 @@ class BatchedEncoder:
         """Identity passthrough (unpack_eval_p17 degenerated to a copy,
         batched_encoder.cu:230-243)."""
         return ev_re, ev_im
+
+    # -- u32-pair hot path (fast_float + Pallas only) -------------------------
+
+    def encode_pair(self, m_re, m_im):
+        """encode_to_wntt_eval producing u32 (lo, hi) plane pairs."""
+        xr, xi = self.encoder.idft2(m_re, m_im)
+        cr, ci = self.wt.dft_inverse_pair(xr, xi)
+        (rl, rh), (il, ih) = self.encoder.quantize_pair(cr, ci)
+        return self.wt.forward_pair(rl, rh), self.wt.forward_pair(il, ih)
+
+    def decode_pair(self, re_pair, im_pair):
+        """decode_from_wntt_eval from u32 (lo, hi) plane pairs."""
+        from ..ops.ddfloat import compose_scaled_pair_to_float
+        p = self.params
+        big_q = 1
+        for q in p.moduli:
+            big_q *= int(q)
+        (rl, rh), (il, ih) = re_pair, im_pair
+        bl = jnp.stack([rl, il], axis=2)                 # [L, W, 2, n, n]
+        bh = jnp.stack([rh, ih], axis=2)
+        sl, sh = self.wt.inverse_scaled_pair(bl, bh)
+        f2 = compose_scaled_pair_to_float(sl, sh, p.moduli, big_q, p.delta)
+        fr, fi = f2[:, 0], f2[:, 1]
+        er, ei = self.wt.dft_forward_pair(fr, fi)
+        return self.encoder.dft2(er, ei)

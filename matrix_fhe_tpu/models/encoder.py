@@ -98,6 +98,19 @@ class Encoder:
             outs_i.append(jnp.where(mi < 0, mi + qq, mi).astype(jnp.uint64))
         return jnp.stack(outs_r), jnp.stack(outs_i)
 
+    def quantize_pair(self, c_re, c_im):
+        """quantize() returning u32 (lo, hi) plane pairs (fast path only)."""
+        from ..ops.ddfloat import f64_mod_to_pair, llround_f64
+        delta = np.float64(self.params.delta)
+        vr = llround_f64(c_re * delta)
+        vi = llround_f64(c_im * delta)
+        prs = [f64_mod_to_pair(vr, int(q)) for q in self.params.moduli]
+        pis = [f64_mod_to_pair(vi, int(q)) for q in self.params.moduli]
+        return ((jnp.stack([p[0] for p in prs]),
+                 jnp.stack([p[1] for p in prs])),
+                (jnp.stack([p[0] for p in pis]),
+                 jnp.stack([p[1] for p in pis])))
+
     def encode(self, m_re, m_im):
         """Full lane encode: complex matrix -> RNS pair in XY-eval basis
         (Encoder::encode, encoder.cu:446-458)."""

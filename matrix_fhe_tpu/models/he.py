@@ -226,12 +226,41 @@ class HEContext:
     def roundtrip_fn(self, m_re, m_im, sk: SecretKey):
         """Pure (un-jitted) full pipeline, for composition under vmap /
         sharding annotations (parallel/pipeline.py)."""
+        fast = (self.batched_encoder.encoder.fast_float
+                and getattr(self.xntt, "_mul_s_p", None) is not None)
+        if fast:
+            return self._roundtrip_pair_fn(m_re, m_im, sk)
         pr, pi = self.batched_encoder.encode_to_wntt_eval(m_re, m_im)
         a_coeff = refrng.uniform_a(self.params)
         e = refrng.gaussian_noise(self.params)
         ct_re, ct_im = self._encrypt_core((pr, pi), sk, a_coeff, (e, e))
         ev_re, ev_im = self.decrypt_pair_to_eval(ct_re, ct_im, sk)
         return self.batched_encoder.decode_from_wntt_eval(ev_re, ev_im)
+
+    def _roundtrip_pair_fn(self, m_re, m_im, sk: SecretKey):
+        """Pair-native (u32 lo/hi plane) roundtrip: residues never take the
+        u64 form between stages, killing the split/join HBM passes."""
+        be = self.batched_encoder
+        (prl, prh), (pil, pih) = be.encode_pair(m_re, m_im)
+        al, ah = refrng.uniform_a_pair(self.params)
+        ael, aeh = self.wt.forward_pair(al, ah)
+        sl, sh = mm.pair_split(sk.s_mont)
+        tl, th = self.xntt.mul_s_pair(ael, aeh, sl, sh)
+        ql, qh = mm.pair_consts(self.params.moduli, m_re.ndim)
+        if self.zero_noise:
+            eel = eeh = None
+        else:
+            e = refrng.gaussian_noise(self.params)
+            el, eh = mm.pair_split(e)
+            eel, eeh = self.wt.forward_pair(el, eh)
+        evs = []
+        for ml, mh in ((prl, prh), (pil, pih)):
+            bl, bh = mm.pair_sub_mod(ml, mh, tl, th, ql, qh)
+            if eel is not None:
+                bl, bh = mm.pair_add_mod(bl, bh, eel, eeh, ql, qh)
+            # decrypt: ev = b + a*s (the compiler shares t with encrypt)
+            evs.append(mm.pair_add_mod(bl, bh, tl, th, ql, qh))
+        return be.decode_pair(evs[0], evs[1])
 
     def _decrypt_fn(self, ct: Ciphertext, sk: SecretKey):
         c = self._c4

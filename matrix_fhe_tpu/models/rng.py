@@ -130,6 +130,13 @@ def uniform_a(params: GLParams) -> jnp.ndarray:
     return rl.astype(jnp.uint64) | (rh.astype(jnp.uint64) << jnp.uint64(32))
 
 
+def uniform_a_pair(params: GLParams):
+    """uniform_a as u32 (lo, hi) planes (hot-path format)."""
+    from ..ops import modmath as mm
+
+    return mm.pair_split(uniform_a(params))
+
+
 def ternary_secret(params: GLParams) -> jnp.ndarray:
     """Reference-exact ternary secret in W-coeff domain, [L, W, n]
     (ternary_secret_kernel, HE.cu:690-713): value depends on (w, x) only and

@@ -79,17 +79,28 @@ def llround_f64(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
-def f64_mod_to_u64(v: jnp.ndarray, q: int) -> jnp.ndarray:
-    """(integer-valued f64 v) mod q as uint64, exactly, without 64-bit
-    integer ops.  Requires |v| < 2^52 / small-quotient bounds: |v|/q < 2^20.
-    All intermediate f64 products are integers < 2^53, hence exact."""
+def f64_mod_to_pair(v: jnp.ndarray, q: int):
+    """(integer-valued f64 v) mod q as u32 (lo, hi) planes, exactly, without
+    64-bit integer ops.  Requires |v| < 2^52 / small-quotient bounds:
+    |v|/q < 2^20.  All intermediate f64 products are integers < 2^53,
+    hence exact."""
     inv = np.float64(1.0) / np.float64(q)
     t = jnp.floor(v * inv)
     m = v - t * np.float64(q)
     m = jnp.where(m < 0, m + q, m)
     m = jnp.where(m >= q, m - q, m)
     hi = jnp.floor(m * np.float64(2.0 ** -32))
-    lo = m - hi * np.float64(2.0 ** 32)
+    lo_f = m - hi * np.float64(2.0 ** 32)
+    # f64 -> u32 conversion clamps at 2^31 on TPU; convert 16-bit halves
+    lo_hi16 = jnp.floor(lo_f * np.float64(2.0 ** -16))
+    lo_lo16 = lo_f - lo_hi16 * np.float64(2.0 ** 16)
+    lo = (lo_lo16.astype(jnp.uint32)
+          | (lo_hi16.astype(jnp.uint32) << jnp.uint32(16)))
+    return lo, hi.astype(jnp.uint32)
+
+
+def f64_mod_to_u64(v: jnp.ndarray, q: int) -> jnp.ndarray:
+    lo, hi = f64_mod_to_pair(v, q)
     return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
 
 
@@ -137,9 +148,15 @@ def compose_scaled_to_float(r_scaled: jnp.ndarray, moduli, big_q: int,
     its value mod 2^64, computed with u32-plane arithmetic.  This replaces
     the reference's 7-limb big-int fold (HE.cu:1007-1027) on the fast path.
     """
-    L = r_scaled.shape[0]
     lo32 = (r_scaled & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi32 = (r_scaled >> jnp.uint64(32)).astype(jnp.uint32)
+    return compose_scaled_pair_to_float(lo32, hi32, moduli, big_q, delta)
+
+
+def compose_scaled_pair_to_float(lo32, hi32, moduli, big_q: int,
+                                 delta: float) -> jnp.ndarray:
+    """compose_scaled_to_float on u32 lo/hi planes [L, ...]."""
+    L = lo32.shape[0]
     acc_l = acc_h = None
     ksum = None
     for l in range(L):

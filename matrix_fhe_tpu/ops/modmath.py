@@ -192,3 +192,51 @@ def find_eta(q: int, p: int, f1: int, f2: int) -> int:
             continue
         return eta
     raise ValueError("failed to find eta for W-CRT")
+
+
+# ---------------------------------------------------------------------------
+# u32-pair (lo, hi) element-wise mod ops — the TPU-native word format.
+# XLA's u64 emulation is correct but every u64 <-> pair conversion is an
+# extra HBM pass; the pipeline hot path keeps residues as u32 planes and
+# uses these (q passed as u32 plane pair ql/qh with qh < 2^16).
+# ---------------------------------------------------------------------------
+
+def pair_split(x):
+    """uint64 -> (lo, hi) u32 planes."""
+    return ((x & u64c(0xFFFFFFFF)).astype(jnp.uint32),
+            (x >> np.uint64(32)).astype(jnp.uint32))
+
+
+def pair_join(lo, hi):
+    return lo.astype(U64) | (hi.astype(U64) << np.uint64(32))
+
+
+def pair_add_mod(al, ah, bl, bh, ql, qh):
+    U32 = jnp.uint32
+    sl = al + bl
+    sh = ah + bh + (sl < al).astype(U32)
+    ge = (sh > qh) | ((sh == qh) & (sl >= ql))
+    borrow = ((sl < ql) & ge).astype(U32)
+    return (jnp.where(ge, sl - ql, sl), jnp.where(ge, sh - qh - borrow, sh))
+
+
+def pair_sub_mod(al, ah, bl, bh, ql, qh):
+    U32 = jnp.uint32
+    lt = (ah < bh) | ((ah == bh) & (al < bl))
+    # a + q when a < b (no overflow: a < q, a + q < 2q < 2^49)
+    cl = al + ql
+    ch = ah + qh + (cl < al).astype(U32)
+    al2 = jnp.where(lt, cl, al)
+    ah2 = jnp.where(lt, ch, ah)
+    borrow = (al2 < bl).astype(U32)
+    return (al2 - bl, ah2 - bh - borrow)
+
+
+def pair_consts(moduli, extra_dims: int):
+    """(ql, qh) u32 plane constants shaped [L, 1, 1, ...]."""
+    q = np.asarray(moduli, dtype=np.uint64)
+    shape = (len(q),) + (1,) * extra_dims
+    return (jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                        ).reshape(shape),
+            jnp.asarray((q >> np.uint64(32)).astype(np.uint32)
+                        ).reshape(shape))

@@ -135,17 +135,29 @@ class XNTT:
             t_ntt = mm.mont_mul(self.forward(a), s_b, q, qinv)
             return self.inverse(t_ntt)
         from .pallas_ntt import join_u64, split_u64
+        al, ah = split_u64(a)
+        sl, sh = split_u64(s_mont)
+        ol, oh = self.mul_s_pair(al, ah, sl, sh)
+        return join_u64(ol, oh)
+
+    def mul_s_pair(self, al, ah, sl, sh):
+        """mul_s on u32 lo/hi planes: a [L, W, n, n], s [L, W, n]."""
+        n = al.shape[-1]
+        L, W = al.shape[0], al.shape[1]
+        pack = getattr(self, "_pack", 1)
         kp = n * pack
-        flat = a.reshape(L, W * n // pack, kp)
-        s2 = jnp.tile(s_mont, (1, 1, pack))              # [L, W, kp]
-        outs = []
+        fl = al.reshape(L, W * n // pack, kp)
+        fh = ah.reshape(L, W * n // pack, kp)
+        s2l = jnp.tile(sl, (1, 1, pack))                 # [L, W, kp]
+        s2h = jnp.tile(sh, (1, 1, pack))
+        outs_l, outs_h = [], []
         for (lo, hi, _), st in zip(self._runs, self._mul_s_p):
-            dlo, dhi = split_u64(flat[lo:hi])
-            slo, shi = split_u64(s2[lo:hi])
-            olo, ohi = st(dlo, dhi, slo, shi)
-            outs.append(join_u64(olo, ohi))
-        out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
-        return out.reshape(a.shape)
+            olo, ohi = st(fl[lo:hi], fh[lo:hi], s2l[lo:hi], s2h[lo:hi])
+            outs_l.append(olo)
+            outs_h.append(ohi)
+        ol = jnp.concatenate(outs_l) if len(outs_l) > 1 else outs_l[0]
+        oh = jnp.concatenate(outs_h) if len(outs_h) > 1 else outs_h[0]
+        return ol.reshape(al.shape), oh.reshape(al.shape)
 
     def wrap_constant(self, limb: int) -> int:
         """The X^n wraparound constant of this ring mod q_limb: q-1 for

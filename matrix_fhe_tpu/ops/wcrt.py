@@ -85,6 +85,43 @@ class WTransform:
             outs.append(join_u64(olo, ohi))
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
+    def _apply_pallas_pair(self, stages, lo32, hi32):
+        outs_l, outs_h = [], []
+        for (a, b, _), st in zip(self._runs, stages):
+            ol, oh = st(lo32[a:b], hi32[a:b])
+            outs_l.append(ol)
+            outs_h.append(oh)
+        if len(outs_l) == 1:
+            return outs_l[0], outs_h[0]
+        return jnp.concatenate(outs_l), jnp.concatenate(outs_h)
+
+    def forward_pair(self, lo32, hi32):
+        """forward() on u32 lo/hi planes [L, W, ...] (no u64 round trips)."""
+        L, W = lo32.shape[0], lo32.shape[1]
+        shape = lo32.shape
+        fl = lo32.reshape(L, W, -1)
+        fh = hi32.reshape(L, W, -1)
+        if self._fwd_p is not None and fl.shape[-1] % 8 == 0:
+            ol, oh = self._apply_pallas_pair(self._fwd_p, fl, fh)
+            return ol.reshape(shape), oh.reshape(shape)
+        from ..ops import modmath as mm
+        out = self._fwd(mm.pair_join(fl, fh)).reshape(shape)
+        return mm.pair_split(out)
+
+    def inverse_scaled_pair(self, lo32, hi32):
+        """inverse_scaled() on u32 lo/hi planes [L, W, ...]."""
+        L, W = lo32.shape[0], lo32.shape[1]
+        shape = lo32.shape
+        fl = lo32.reshape(L, W, -1)
+        fh = hi32.reshape(L, W, -1)
+        st = self._inv_scaled
+        if self._use_pallas and fl.shape[-1] % 8 == 0:
+            ol, oh = self._apply_pallas_pair(st, fl, fh)
+            return ol.reshape(shape), oh.reshape(shape)
+        from ..ops import modmath as mm
+        out = st(mm.pair_join(fl, fh)).reshape(shape)
+        return mm.pair_split(out)
+
     # -- mod-q path ----------------------------------------------------------
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
