@@ -140,3 +140,47 @@ def test_fresh_randomness_pipeline():
     dr, di = ctx.decrypt_and_decode(ct_re, ct_im, sk)
     err = np.hypot(np.asarray(dr) - re, np.asarray(di) - im).max()
     assert err < 0.5, err
+
+
+def test_pair_native_roundtrip_matches_u64_path():
+    """The u32-pair fast roundtrip vs the u64-path composition, both through
+    interpret-mode Pallas kernels with fast_float forced on."""
+    import os
+
+    from matrix_fhe_tpu.ops.ntt import XNTT
+    from matrix_fhe_tpu.ops.modmatmul import limb_runs
+    from matrix_fhe_tpu.ops.pallas_ntt import PallasStage
+    from matrix_fhe_tpu.models import rng as refrng
+
+    p = get_params("small")
+    ctx = HEContext(p)
+    # force the TPU-style configuration on CPU (interpret kernels)
+    ctx.batched_encoder.encoder.fast_float = True
+    ctx.wt._fast_float = True
+    ctx.wt._use_pallas = True
+    ctx.wt._runs = limb_runs(p.moduli)
+    t = ctx.tables
+    ctx.wt._fwd_p = [PallasStage(t.w_fwd[lo:hi], p.moduli[lo:hi], side="left")
+                     for lo, hi, _ in ctx.wt._runs]
+    ctx.wt._inv_p = [PallasStage(t.w_inv[lo:hi], p.moduli[lo:hi], side="left")
+                     for lo, hi, _ in ctx.wt._runs]
+    ctx.wt.__dict__.pop("_inv_scaled", None)
+    _ = ctx.wt._inv_scaled
+    ctx.xntt = XNTT(p, ring=ctx.ring, tables=t, use_pallas=True)
+    sk = ctx.generate_secret_key()
+    rng = np.random.default_rng(3)
+    re = jnp.asarray(rng.uniform(-4, 4, size=(p.phi, p.n, p.n)))
+    im = jnp.asarray(rng.uniform(-4, 4, size=(p.phi, p.n, p.n)))
+    dr, di = ctx._roundtrip_pair_fn(re, im, sk)
+    err = np.hypot(np.asarray(dr) - np.asarray(re),
+                   np.asarray(di) - np.asarray(im)).max()
+    assert err < 0.05, err
+    # the u64-path composition must agree to f64 noise
+    pr, pi = ctx.batched_encoder.encode_to_wntt_eval(re, im)
+    a_coeff = refrng.uniform_a(p)
+    e = refrng.gaussian_noise(p)
+    ct_re, ct_im = ctx._encrypt_core((pr, pi), sk, a_coeff, (e, e))
+    ev_re, ev_im = ctx.decrypt_pair_to_eval(ct_re, ct_im, sk)
+    dr2, di2 = ctx.batched_encoder.decode_from_wntt_eval(ev_re, ev_im)
+    assert np.abs(np.asarray(dr) - np.asarray(dr2)).max() < 1e-9
+    assert np.abs(np.asarray(di) - np.asarray(di2)).max() < 1e-9
