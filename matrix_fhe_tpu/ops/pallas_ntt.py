@@ -441,21 +441,23 @@ def _stage_kernel(dlo_ref, dhi_ref, tch_ref, twlo_ref, twhi_ref,
 def _fused_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twlo_ref, twhi_ref,
                       sc_ref, olo_ref, ohi_ref,
                       *, scheme, bias_bits: int, neg_c_words, pair_pack: bool,
-                      sides: Tuple[str, str]):
+                      sides: Tuple[str, str], bb: int = 1):
     """Both four-step stages on one [n1, n2] tile: stage A (with the
     inter-stage twiddle folded onto its output) immediately feeds stage B —
-    the intermediate spectrum never leaves VMEM."""
+    the intermediate spectrum never leaves VMEM.  `bb` batch entries share
+    one grid cell to amortize per-cell DMA/grid overheads."""
     qc = (sc_ref[0, 0, 1], sc_ref[0, 0, 0], sc_ref[0, 0, 3], sc_ref[0, 0, 2])
     tw = (twhi_ref[0, 0], twlo_ref[0, 0])
     kw = dict(scheme=scheme, bias_bits=bias_bits, neg_c_words=neg_c_words,
               pair_pack=pair_pack)
-    h, l = _mod_matmul_tile(dlo_ref[0, 0], dhi_ref[0, 0],
-                            lambda i: tA_ref[0, i], qc,
-                            side=sides[0], tw=tw, **kw)
-    rh, rl = _mod_matmul_tile(l, h, lambda i: tB_ref[0, i], qc,
-                              side=sides[1], tw=None, **kw)
-    olo_ref[0, 0] = rl
-    ohi_ref[0, 0] = rh
+    for j in range(bb):
+        h, l = _mod_matmul_tile(dlo_ref[0, j], dhi_ref[0, j],
+                                lambda i: tA_ref[0, i], qc,
+                                side=sides[0], tw=tw, **kw)
+        rh, rl = _mod_matmul_tile(l, h, lambda i: tB_ref[0, i], qc,
+                                  side=sides[1], tw=None, **kw)
+        olo_ref[0, j] = rl
+        ohi_ref[0, j] = rh
 
 
 def _ntt_mul_ntt_kernel(dlo_ref, dhi_ref, slo_ref, shi_ref, tf_ref, ti_ref,
@@ -851,14 +853,19 @@ class PallasFourStepNTT:
 
     @functools.lru_cache(maxsize=8)
     def _fused_call(self, B: int, direction: str):
+        import os
+
         p = self.plan
         L, n1, n2 = self.L, p.n1, p.n2
         n_planes = len(self._scheme.combos)
         sides = ("left", "right") if direction == "fwd" else ("right", "left")
+        bb = int(os.environ.get("MFHE_NTT_BB", "1"))
+        while B % bb:
+            bb //= 2
         kern = functools.partial(
             _fused_ntt_kernel, scheme=self._scheme, bias_bits=self._bias_bits,
-            neg_c_words=self._negc, pair_pack=self._pp, sides=sides)
-        data_spec = pl.BlockSpec((1, 1, n1, n2), lambda l, b: (l, b, 0, 0),
+            neg_c_words=self._negc, pair_pack=self._pp, sides=sides, bb=bb)
+        data_spec = pl.BlockSpec((1, bb, n1, n2), lambda l, b: (l, b, 0, 0),
                                  memory_space=pltpu.VMEM)
         tbl_spec = pl.BlockSpec((1, n_planes, n1, n1),
                                 lambda l, b: (l, 0, 0, 0),
@@ -869,7 +876,7 @@ class PallasFourStepNTT:
                                memory_space=pltpu.SMEM)
         return pl.pallas_call(
             kern,
-            grid=(L, B),
+            grid=(L, B // bb),
             in_specs=[data_spec, data_spec, tbl_spec, tbl_spec,
                       tw_spec, tw_spec, sc_spec],
             out_specs=(data_spec, data_spec),
