@@ -38,8 +38,9 @@ class Encoder:
     """sigma-embedding over one (or a batch of) n x n complex matrices."""
 
     def __init__(self, params: GLParams, tables: GLTables | None = None,
-                 fast_float: bool | None = None):
-        from ..ops.ddfloat import fast_float_default
+                 fast_float: bool | None = None,
+                 dd_transforms: bool | None = None):
+        from ..ops.ddfloat import dd_transforms_default, fast_float_default
 
         self.params = params
         t = tables or build_tables(params)
@@ -51,26 +52,56 @@ class Encoder:
         self._composer = CRTComposer(t)
         self.fast_float = (fast_float_default() if fast_float is None
                            else fast_float)
+        self.dd_transforms = (dd_transforms_default() if dd_transforms is None
+                              else dd_transforms)
 
     def _cm(self, ar, ai, br, bi):
-        if self.fast_float:
+        if self.dd_transforms:
             from ..ops.ddfloat import dd_cmatmul
             return dd_cmatmul(ar, ai, br, bi)
         return _cm(ar, ai, br, bi)
 
     # -- complex transforms (batch over leading dims) -------------------------
 
+    def _sandwich(self, vr, vi, m_re, m_im):
+        """V @ M @ V^T over a [W, n, n] batch.  XLA's emulated-f64 batched
+        small-K matmul is ~2x slower than the same contraction phrased as two
+        WIDE 2-D matmuls ([n, n] @ [n, W*n]); the summation order per output
+        is identical, so results are bit-identical to the naive einsum."""
+        if m_re.ndim == 2:          # single lane: keep the simple form
+            tr, ti = self._cm(vr, vi, m_re, m_im)
+            return self._cm(tr, ti, vr.T, vi.T)
+
+        def cm2d(ar, ai, br, bi):
+            return (ar @ br - ai @ bi, ar @ bi + ai @ br)
+
+        W, n = m_re.shape[0], m_re.shape[-1]
+        mr = jnp.swapaxes(m_re, 0, 1).reshape(n, -1)
+        mi = jnp.swapaxes(m_im, 0, 1).reshape(n, -1)
+        tr, ti = cm2d(vr, vi, mr, mi)                    # [n(i'), W*n(j)]
+        sr = jnp.transpose(tr.reshape(n, W, n), (2, 1, 0)).reshape(n, -1)
+        si = jnp.transpose(ti.reshape(n, W, n), (2, 1, 0)).reshape(n, -1)
+        ur, ui = cm2d(vr, vi, sr, si)                    # [n(j'), W*n(i')]
+        return (jnp.transpose(ur.reshape(n, W, n), (1, 2, 0)),
+                jnp.transpose(ui.reshape(n, W, n), (1, 2, 0)))
+
     def idft2(self, m_re, m_im) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """V^-1 @ M @ (V^-1)^T  (encoder.cu:460-467)."""
-        tr, ti = self._cm(self._vi_re, self._vi_im,
-                          m_re.astype(F64), m_im.astype(F64))
-        return self._cm(tr, ti, self._vi_re.T, self._vi_im.T)
+        if self.dd_transforms:
+            tr, ti = self._cm(self._vi_re, self._vi_im,
+                              m_re.astype(F64), m_im.astype(F64))
+            return self._cm(tr, ti, self._vi_re.T, self._vi_im.T)
+        return self._sandwich(self._vi_re, self._vi_im,
+                              m_re.astype(F64), m_im.astype(F64))
 
     def dft2(self, e_re, e_im) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """V @ E @ V^T  (decode_from_eval_complex, encoder.cu:492-501)."""
-        tr, ti = self._cm(self._v_re, self._v_im,
-                          e_re.astype(F64), e_im.astype(F64))
-        return self._cm(tr, ti, self._v_re.T, self._v_im.T)
+        if self.dd_transforms:
+            tr, ti = self._cm(self._v_re, self._v_im,
+                              e_re.astype(F64), e_im.astype(F64))
+            return self._cm(tr, ti, self._v_re.T, self._v_im.T)
+        return self._sandwich(self._v_re, self._v_im,
+                              e_re.astype(F64), e_im.astype(F64))
 
     # -- quantize / RNS ---------------------------------------------------------
 

@@ -42,10 +42,11 @@ class WTransform:
                  fast_float: bool | None = None):
         import jax
 
-        from .ddfloat import fast_float_default
+        from .ddfloat import dd_transforms_default, fast_float_default
 
         self._fast_float = (fast_float_default() if fast_float is None
                             else fast_float)
+        self._dd_transforms = dd_transforms_default()
         self.params = params
         t = tables or build_tables(params)
         self.tables = t
@@ -208,8 +209,8 @@ class WTransform:
 
     def _cmatmul(self, mr, mi, xr, xi) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Complex [W,W] @ [W,M] as four real f64 matmuls (split-f32 MXU
-        products on the fast path; see ops/ddfloat.py)."""
-        if self._fast_float:
+        products when dd transforms are opted in; see ops/ddfloat.py)."""
+        if self._dd_transforms:
             from .ddfloat import dd_cmatmul
             return dd_cmatmul(mr, mi, xr, xi)
         yr = mr @ xr - mi @ xi
