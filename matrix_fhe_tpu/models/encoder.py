@@ -54,6 +54,11 @@ class Encoder:
                            else fast_float)
         self.dd_transforms = (dd_transforms_default() if dd_transforms is None
                               else dd_transforms)
+        from ..ops.fpmatmul import ExactComplexMatmul, fp_transforms_default
+        self._fp_v = self._fp_vi = None
+        if fp_transforms_default() and not self.dd_transforms:
+            self._fp_v = ExactComplexMatmul(t.enc_v)
+            self._fp_vi = ExactComplexMatmul(t.enc_v_inv)
 
     def _cm(self, ar, ai, br, bi):
         if self.dd_transforms:
@@ -63,17 +68,23 @@ class Encoder:
 
     # -- complex transforms (batch over leading dims) -------------------------
 
-    def _sandwich(self, vr, vi, m_re, m_im):
+    def _sandwich(self, vr, vi, m_re, m_im, fp=None):
         """V @ M @ V^T over a [W, n, n] batch.  XLA's emulated-f64 batched
         small-K matmul is ~2x slower than the same contraction phrased as two
         WIDE 2-D matmuls ([n, n] @ [n, W*n]); the summation order per output
-        is identical, so results are bit-identical to the naive einsum."""
+        is identical, so results are bit-identical to the naive einsum.
+        When an ExactComplexMatmul is supplied (TPU), the wide matmuls run
+        as exact fixed-point MXU kernels instead of emulated f64."""
         if m_re.ndim == 2:          # single lane: keep the simple form
             tr, ti = self._cm(vr, vi, m_re, m_im)
             return self._cm(tr, ti, vr.T, vi.T)
 
-        def cm2d(ar, ai, br, bi):
-            return (ar @ br - ai @ bi, ar @ bi + ai @ br)
+        if fp is not None:
+            def cm2d(ar_unused, ai_unused, br, bi):
+                return fp(br, bi)
+        else:
+            def cm2d(ar, ai, br, bi):
+                return (ar @ br - ai @ bi, ar @ bi + ai @ br)
 
         W, n = m_re.shape[0], m_re.shape[-1]
         mr = jnp.swapaxes(m_re, 0, 1).reshape(n, -1)
@@ -92,7 +103,8 @@ class Encoder:
                               m_re.astype(F64), m_im.astype(F64))
             return self._cm(tr, ti, self._vi_re.T, self._vi_im.T)
         return self._sandwich(self._vi_re, self._vi_im,
-                              m_re.astype(F64), m_im.astype(F64))
+                              m_re.astype(F64), m_im.astype(F64),
+                              fp=self._fp_vi)
 
     def dft2(self, e_re, e_im) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """V @ E @ V^T  (decode_from_eval_complex, encoder.cu:492-501)."""
@@ -101,7 +113,8 @@ class Encoder:
                               e_re.astype(F64), e_im.astype(F64))
             return self._cm(tr, ti, self._v_re.T, self._v_im.T)
         return self._sandwich(self._v_re, self._v_im,
-                              e_re.astype(F64), e_im.astype(F64))
+                              e_re.astype(F64), e_im.astype(F64),
+                              fp=self._fp_v)
 
     # -- quantize / RNS ---------------------------------------------------------
 

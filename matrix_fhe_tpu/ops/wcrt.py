@@ -71,6 +71,11 @@ class WTransform:
         self._composer = CRTComposer(t)
         if self._fast_float:
             self._inv_scaled  # materialize eagerly (never inside a trace)
+        from .fpmatmul import ExactComplexMatmul, fp_transforms_default
+        self._fp_dft = self._fp_idft = None
+        if fp_transforms_default() and not self._dd_transforms:
+            self._fp_dft = ExactComplexMatmul(t.wdft)
+            self._fp_idft = ExactComplexMatmul(t.wdft_inv)
         # complex tables as separate f64 re/im parts
         self._dft_re = jnp.asarray(t.wdft.real)
         self._dft_im = jnp.asarray(t.wdft.imag)
@@ -222,7 +227,10 @@ class WTransform:
         shape = re.shape
         xr = re.reshape(shape[0], -1).astype(jnp.float64)
         xi = im.reshape(shape[0], -1).astype(jnp.float64)
-        yr, yi = self._cmatmul(self._dft_re, self._dft_im, xr, xi)
+        if self._fp_dft is not None and xr.shape[1] % 8 == 0:
+            yr, yi = self._fp_dft(xr, xi)
+        else:
+            yr, yi = self._cmatmul(self._dft_re, self._dft_im, xr, xi)
         return yr.reshape(shape), yi.reshape(shape)
 
     def dft_inverse_pair(self, re, im) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -231,7 +239,10 @@ class WTransform:
         shape = re.shape
         xr = re.reshape(shape[0], -1).astype(jnp.float64)
         xi = im.reshape(shape[0], -1).astype(jnp.float64)
-        yr, yi = self._cmatmul(self._idft_re, self._idft_im, xr, xi)
+        if self._fp_idft is not None and xr.shape[1] % 8 == 0:
+            yr, yi = self._fp_idft(xr, xi)
+        else:
+            yr, yi = self._cmatmul(self._idft_re, self._idft_im, xr, xi)
         return yr.reshape(shape), yi.reshape(shape)
 
     @property

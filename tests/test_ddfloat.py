@@ -72,3 +72,37 @@ def test_fast_encode_decode_loopback(rng):
     dr2, di2 = be.decode_from_wntt_eval(pr, pi)
     err2 = np.hypot(np.asarray(dr2) - re, np.asarray(di2) - im).max()
     assert err2 < 5e-3, err2
+
+
+def test_exact_fp_cmatmul(rng):
+    """Fixed-point MXU complex matmul vs complex128, across value scales."""
+    from matrix_fhe_tpu.ops.fpmatmul import ExactComplexMatmul
+
+    for (W, K, M, scale) in ((32, 32, 64, 1.0), (32, 32, 64, 511.0),
+                             (64, 64, 128, 2e-4)):
+        theta = rng.uniform(0, 2 * np.pi, size=(W, K))
+        T = np.exp(1j * theta)
+        xr = rng.uniform(-scale, scale, size=(K, M))
+        xi = rng.uniform(-scale, scale, size=(K, M))
+        mm = ExactComplexMatmul(T, m_tile=64)
+        yr, yi = mm(jnp.asarray(xr), jnp.asarray(xi))
+        want = T @ (xr + 1j * xi)
+        err = max(np.abs(np.asarray(yr) - want.real).max(),
+                  np.abs(np.asarray(yi) - want.imag).max())
+        rel = err / np.abs(want).max()
+        assert rel < 1e-8, (W, scale, rel)
+
+
+def test_exact_fp_small_norm_table(rng):
+    """Per-table scaling must keep precision for small-norm tables."""
+    from matrix_fhe_tpu.ops.fpmatmul import ExactComplexMatmul
+
+    T = np.exp(1j * rng.uniform(0, 2 * np.pi, size=(32, 32))) / 64.0
+    xr = rng.uniform(-500, 500, size=(32, 64))
+    xi = rng.uniform(-500, 500, size=(32, 64))
+    mm = ExactComplexMatmul(T, m_tile=64)
+    yr, yi = mm(jnp.asarray(xr), jnp.asarray(xi))
+    want = T @ (xr + 1j * xi)
+    rel = max(np.abs(np.asarray(yr) - want.real).max(),
+              np.abs(np.asarray(yi) - want.imag).max()) / np.abs(want).max()
+    assert rel < 1e-8, rel
