@@ -125,12 +125,9 @@ class Encoder:
         if self.fast_float:
             # pure-f64 exact path: avoids XLA's emulated 64-bit int modulo
             # (valid while |x*Delta| < 2^52; ref magnitudes are ~2^46)
-            from ..ops.ddfloat import f64_mod_to_u64, llround_f64
-            vr = llround_f64(c_re * delta)
-            vi = llround_f64(c_im * delta)
-            outs_r = [f64_mod_to_u64(vr, int(q)) for q in self.params.moduli]
-            outs_i = [f64_mod_to_u64(vi, int(q)) for q in self.params.moduli]
-            return jnp.stack(outs_r), jnp.stack(outs_i)
+            from ..ops import modmath as mm
+            (rl, rh), (il, ih) = self.quantize_pair(c_re, c_im)
+            return mm.pair_join(rl, rh), mm.pair_join(il, ih)
         ir = llround(c_re * delta)
         ii = llround(c_im * delta)
         outs_r, outs_i = [], []

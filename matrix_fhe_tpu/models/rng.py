@@ -76,21 +76,27 @@ def uniform_a(params: GLParams) -> jnp.ndarray:
     s0 = idx + np.uint32(123456789)          # < 2^32: single u32 word
     c1 = 6364136223846793005
     c2 = 1442695040888963407
-    # seed = s0 * c1 + c2 (mod 2^64) on u32 pairs
+
     m16 = np.uint32(0xFFFF)
-    c1l, c1h = np.uint32(c1 & 0xFFFFFFFF), np.uint32(c1 >> 32)
-    a0 = s0 & m16
-    a1 = s0 >> np.uint32(16)
-    b0 = np.uint32(c1 & 0xFFFF)
-    b1 = np.uint32((c1 >> 16) & 0xFFFF)
-    ll = a0 * b0
-    lh = a0 * b1
-    hl = a1 * b0
-    hh = a1 * b1
-    mid = (ll >> np.uint32(16)) + (lh & m16) + (hl & m16)
-    lo = (ll & m16) | (mid << np.uint32(16))
-    hi = (hh + (lh >> np.uint32(16)) + (hl >> np.uint32(16))
-          + (mid >> np.uint32(16)) + s0 * c1h)
+
+    def wide_mul_u32(a, bl32, bh32):
+        """(hi, lo) of (a < 2^32) * (bh32*2^32 + bl32), b a constant."""
+        a0 = a & m16
+        a1 = a >> np.uint32(16)
+        b0 = np.uint32(bl32 & 0xFFFF)
+        b1 = np.uint32(bl32 >> 16)
+        ll = a0 * b0
+        lh = a0 * b1
+        hl = a1 * b0
+        hh = a1 * b1
+        mid = (ll >> np.uint32(16)) + (lh & m16) + (hl & m16)
+        lo = (ll & m16) | (mid << np.uint32(16))
+        hi = (hh + (lh >> np.uint32(16)) + (hl >> np.uint32(16))
+              + (mid >> np.uint32(16)) + a * np.uint32(bh32))
+        return hi, lo
+
+    # seed = s0 * c1 + c2 (mod 2^64) on u32 pairs
+    hi, lo = wide_mul_u32(s0, c1 & 0xFFFFFFFF, c1 >> 32)
     lo2 = lo + np.uint32(c2 & 0xFFFFFFFF)
     hi = hi + np.uint32(c2 >> 32) + (lo2 < lo).astype(U32)
     lo = lo2
@@ -105,7 +111,8 @@ def uniform_a(params: GLParams) -> jnp.ndarray:
     f = lo.astype(jnp.float64) + hi.astype(jnp.float64) * np.float64(2.0**32)
     t = jnp.maximum(f * qinv - 2.0, 0.0)
     t32 = t.astype(U32)                       # quotient < 2^31 for q >= 2^34
-    # r = seed - t*q (two-word), with q < 2^48
+    # r = seed - t*q (two-word), with q < 2^48; here q is a per-limb PLANE,
+    # so inline the same 16-bit split against plane operands
     t0 = t32 & m16
     t1 = t32 >> np.uint32(16)
     q0 = ql & m16

@@ -91,6 +91,15 @@ def llround_f64(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
+def f64_to_u32_exact(v: jnp.ndarray) -> jnp.ndarray:
+    """Integer-valued f64 in [0, 2^32) -> u32.  A direct f64->uint32
+    convert clamps at 2^31 on TPU; convert 16-bit halves instead."""
+    hi16 = jnp.floor(v * np.float64(2.0 ** -16))
+    lo16 = v - hi16 * np.float64(2.0 ** 16)
+    return lo16.astype(jnp.uint32) | (hi16.astype(jnp.uint32)
+                                      << jnp.uint32(16))
+
+
 def f64_mod_to_pair(v: jnp.ndarray, q: int):
     """(integer-valued f64 v) mod q as u32 (lo, hi) planes, exactly, without
     64-bit integer ops.  Requires |v| < 2^52 / small-quotient bounds:
@@ -103,12 +112,7 @@ def f64_mod_to_pair(v: jnp.ndarray, q: int):
     m = jnp.where(m >= q, m - q, m)
     hi = jnp.floor(m * np.float64(2.0 ** -32))
     lo_f = m - hi * np.float64(2.0 ** 32)
-    # f64 -> u32 conversion clamps at 2^31 on TPU; convert 16-bit halves
-    lo_hi16 = jnp.floor(lo_f * np.float64(2.0 ** -16))
-    lo_lo16 = lo_f - lo_hi16 * np.float64(2.0 ** 16)
-    lo = (lo_lo16.astype(jnp.uint32)
-          | (lo_hi16.astype(jnp.uint32) << jnp.uint32(16)))
-    return lo, hi.astype(jnp.uint32)
+    return f64_to_u32_exact(lo_f), hi.astype(jnp.uint32)
 
 
 def f64_mod_to_u64(v: jnp.ndarray, q: int) -> jnp.ndarray:

@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_ntt import CHUNK_BITS, _Schoolbook, _sum_words
+from .pallas_ntt import CHUNK_BITS, _sum_words
 
 U32 = jnp.uint32
 F64 = jnp.float64
@@ -118,8 +118,6 @@ def _fp_cmatmul_kernel(xrl_ref, xrh_ref, xil_ref, xih_ref, tr_ref, ti_ref,
                        o_refs, *, dchunks: int, tchunks: int, bias_bits: int,
                        neg_c_words):
     """out[w, m] = sum_k T[w, k] * X[k, m] (complex), exact over ints."""
-    sch = _Schoolbook(max(dchunks, tchunks))
-
     dr = _balanced_digits(xrl_ref[0], xrh_ref[0], dchunks)
     di = _balanced_digits(xil_ref[0], xih_ref[0], dchunks)
     dr = [d.astype(jnp.int8) for d in dr]
@@ -249,13 +247,11 @@ class ExactComplexMatmul:
     def _to_pair(v):
         """Signed integer-valued f64 (|v| < 2^50) -> two's-complement u32
         (lo, hi) planes without clamping converts."""
+        from .ddfloat import f64_to_u32_exact
         hi_f = jnp.floor(v * np.float64(2.0 ** -32))     # in [-2^18, 2^18)
         lo_f = v - hi_f * np.float64(2.0 ** 32)          # in [0, 2^32)
-        lo16h = jnp.floor(lo_f * np.float64(2.0 ** -16))
-        lo16l = lo_f - lo16h * np.float64(2.0 ** 16)
-        lo = (lo16l.astype(U32) | (lo16h.astype(U32) << jnp.uint32(16)))
         hi = jax.lax.bitcast_convert_type(hi_f.astype(jnp.int32), U32)
-        return lo, hi
+        return f64_to_u32_exact(lo_f), hi
 
     def __call__(self, xr: jnp.ndarray, xi: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:

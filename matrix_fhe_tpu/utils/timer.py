@@ -40,13 +40,20 @@ class Timer:
 
 
 def benchmark(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median-free steady-state seconds/call of a jitted function."""
+    """Steady-state seconds/call of a jitted function.
+
+    Fences the LAST output with a device->host readback: through remote-TPU
+    tunnels, block_until_ready can return before execution, and device_get
+    costs ~30 ms flat — so fence exactly once and amortize over `iters`
+    (see docs/PERF.md).  The 30 ms readback is NOT subtracted; use large
+    `iters` for sub-ms workloads."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
+    _ = jax.device_get(jax.tree.leaves(out)[0].ravel()[:1])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = jax.device_get(jax.tree.leaves(out)[0].ravel()[:1])
     return (time.perf_counter() - t0) / iters

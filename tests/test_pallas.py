@@ -42,7 +42,6 @@ def test_u32_pair_helpers(rng):
 
 def test_redc_and_montmul48_match_bigint(rng):
     from matrix_fhe_tpu.ops.modmath import MontConsts
-    rinv = pow(1 << 64, -1, 1)  # placeholder, per-q below
     for q in (17192831233, (1 << 45) - 55, (1 << 35) - 849):
         mc = MontConsts.make(q)
         qh = jnp.uint32(q >> 32)
@@ -105,8 +104,6 @@ def test_fused_mul_s_matches_composition(rng):
     """iNTT(NTT(a) * s) fused kernel vs the unfused composition."""
     from matrix_fhe_tpu.config import get_params
     from matrix_fhe_tpu.ops.ntt import XNTT
-    from matrix_fhe_tpu.ops import modmath as mm
-    from matrix_fhe_tpu.ops.modmath import MontConsts
 
     p = get_params("small")   # n=16, pack=8, rep=2
     xp = XNTT(p, use_pallas=True)    # interpret mode on CPU
