@@ -16,8 +16,11 @@ gives ~1e-6 absolute transform error — far inside the scheme's 1e-4
 pipeline budget (src/main.cu:150) — at bf16-pipeline speed instead of
 software-f64 speed.
 
-The exact-f64 paths (models/encoder.py, ops/crt.py) remain the oracles;
-this module is the TPU fast path (MFHE_FAST_FLOAT=0 disables).
+The exact-f64 paths (models/encoder.py, ops/crt.py) remain the oracles.
+Gates: fast_float_default() covers the EXACT integer helpers (default on
+TPU); dd_transforms_default() covers the approximate split-f32 matmuls
+(opt-in only — see the function docstrings; ops/fpmatmul.py supersedes
+them with exact fixed-point MXU transforms).
 """
 
 from __future__ import annotations
