@@ -266,3 +266,4 @@ def _matmul_consts(moduli: tuple, total_chunks: int, chunk_bits: int):
         "qinv_neg": jnp.asarray(qinv),
         "pow2r": pow2r_table(moduli, total_chunks, chunk_bits),
     }
+
