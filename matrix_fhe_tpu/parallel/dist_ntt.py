@@ -36,7 +36,8 @@ class DistFourStepNTT:
     """Forward/inverse negacyclic NTT of [L, B, N] arrays, N-axis sharded
     over `axis` of `mesh`."""
 
-    def __init__(self, plan: FourStepPlan, mesh: Mesh, axis: str = "coeff"):
+    def __init__(self, plan: FourStepPlan, mesh: Mesh, axis: str = "coeff",
+                 use_pallas: bool | None = None):
         self.plan = plan
         self.mesh = mesh
         self.axis = axis
@@ -44,7 +45,39 @@ class DistFourStepNTT:
         if plan.n2 % self.d or plan.n1 % self.d:
             raise ValueError("n1 and n2 must be divisible by the mesh axis")
         self.local = FourStepNTT(plan)  # reuse tables/chunks; stages re-dispatched
+        self._use_pallas = (jax.default_backend() == "tpu"
+                            if use_pallas is None else use_pallas)
+        if self._use_pallas:
+            from ..ops.modmatmul import limb_runs
+            from ..ops.pallas_ntt import PallasStage
+            loc = self.local
+            self._pruns = limb_runs(plan.moduli)
+            self._pstages = {
+                name: [PallasStage(np.asarray(tbl[lo:hi]),
+                                   plan.moduli[lo:hi], side="right")
+                       for lo, hi, _ in self._pruns]
+                for name, tbl in (("t1f", loc._t1f), ("t1i", loc._t1i),
+                                  ("t2f", loc._t2f), ("t2i", loc._t2i))}
         self._build()
+
+    def _stage(self, x, which: str, contract_axis: int):
+        """Shard-local stage: the fused Pallas modular matmul on TPU, the
+        XLA-composed chunked path elsewhere.  Contract `contract_axis` of
+        [L, B, d2, d3]; output axes [L, B, (other), k] (same contract as
+        FourStepNTT._stage — the stage tables are symmetric)."""
+        if not self._use_pallas:
+            return self.local._stage(x, which, contract_axis)
+        from ..ops.pallas_ntt import join_u64, split_u64
+        x2 = jnp.moveaxis(x, contract_axis, -1)
+        shp = x2.shape
+        flat = x2.reshape(shp[0], -1, shp[-1])
+        outs = []
+        for (lo, hi, _), st in zip(self._pruns, self._pstages[which]):
+            dlo, dhi = split_u64(flat[lo:hi])
+            olo, ohi = st(dlo, dhi)
+            outs.append(join_u64(olo, ohi))
+        out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        return out.reshape(shp[:-1] + (out.shape[-1],))
 
     def _build(self):
         plan, d, axis = self.plan, self.d, self.axis
@@ -71,35 +104,36 @@ class DistFourStepNTT:
             # x: [L, B, n1, n2/d] local block
             if plan.negacyclic:
                 x = mont_mul(x, twist_l, q4, qi4)
-            y = loc._stage(x, "t1f", 2)              # [L, B, m, n1]
+            y = self._stage(x, "t1f", 2)              # [L, B, m, n1]
             y = mont_mul(y, twf_l, q4, qi4)
             # redistribute: split k1 (axis 3) across devices, gather i2 (axis 2)
             y = jax.lax.all_to_all(y, axis, split_axis=3, concat_axis=2,
                                    tiled=True)
-            z = loc._stage(y, "t2f", 2)              # [L, B, n1/d, n2]
+            z = self._stage(y, "t2f", 2)              # [L, B, n1/d, n2]
             return z
 
         def inv_local(z, twi_l, twist_l):
             # z: [L, B, n1/d, n2] local (k1-sharded four-step spectrum)
-            y = loc._stage(z, "t2i", 3)              # [L, B, n1/d, i2]
+            y = self._stage(z, "t2i", 3)              # [L, B, n1/d, i2]
             y = mont_mul(y, twi_l, q4, qi4)
             # redistribute: split i2 (axis 3), gather k1 (axis 2)
             y = jax.lax.all_to_all(y, axis, split_axis=3, concat_axis=2,
                                    tiled=True)
             # now [L, B, n1, i2/d]; contract k1 (axis 2)
-            w = loc._stage(y, "t1i", 2)              # [L, B, m, n1] (i1 last)
+            w = self._stage(y, "t1i", 2)              # [L, B, m, n1] (i1 last)
             x = jnp.swapaxes(w, 2, 3)                # [L, B, n1, i2/d]
             if plan.negacyclic:
                 x = mont_mul(x, twist_l, q4, qi4)
             return x
 
         in_specs_f = (pspec_x, pspec_tw, pspec_twist)
+        # check_vma=False: pallas_call outputs carry no vma annotation
         self._fwd_sm = jax.jit(shard_map(
-            fwd_local, mesh=mesh,
+            fwd_local, mesh=mesh, check_vma=False,
             in_specs=in_specs_f, out_specs=pspec_out))
         in_specs_i = (pspec_out, pspec_twi, pspec_twist)
         self._inv_sm = jax.jit(shard_map(
-            inv_local, mesh=mesh,
+            inv_local, mesh=mesh, check_vma=False,
             in_specs=in_specs_i, out_specs=pspec_x))
         self._twf_r = twf
         self._twi_r = twi

@@ -63,3 +63,20 @@ def test_mesh_factoring():
     assert meshlib.factor_mesh(8) == {"dp": 2, "tp": 4}
     assert meshlib.factor_mesh(1) == {"dp": 1, "tp": 1}
     assert meshlib.factor_mesh(7) == {"dp": 1, "tp": 7}
+
+
+def test_dist_ntt_pallas_stages_bit_exact(rng):
+    """The Pallas shard-local stage variant == the XLA-composed dist path."""
+    primes = generate_primes_1mod(2, 35, 1 << 11)
+    plan = FourStepPlan.make(1024, primes)
+    mesh = meshlib.make_mesh({"coeff": 8})
+    d_xla = DistFourStepNTT(plan, mesh, axis="coeff", use_pallas=False)
+    d_pal = DistFourStepNTT(plan, mesh, axis="coeff", use_pallas=True)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, size=(2, plan.n), dtype=np.uint64)
+         for q in primes]))
+    fx = np.asarray(d_xla.forward(x))
+    fp = np.asarray(d_pal.forward(x))
+    assert (fx == fp).all()
+    back = np.asarray(d_pal.inverse(d_pal.forward(x)))
+    assert (back == np.asarray(x)).all()
