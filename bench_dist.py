@@ -103,7 +103,8 @@ def main():
         [rng.integers(0, q, size=(2, N2), dtype=np.uint64)
          for q in primes2]))
     meshC = Mesh(np.array(devs), ("coeff",))
-    dist = DistFourStepNTT(plan2, meshC, axis="coeff")
+    dist = DistFourStepNTT(plan2, meshC, axis="coeff",
+                           use_pallas=not validation_only)
     base = FourStepNTT(plan2)
     fb = jax.jit(base.forward)
     fd = jax.jit(dist.forward)
