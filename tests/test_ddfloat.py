@@ -106,3 +106,23 @@ def test_exact_fp_small_norm_table(rng):
     rel = max(np.abs(np.asarray(yr) - want.real).max(),
               np.abs(np.asarray(yi) - want.imag).max()) / np.abs(want).max()
     assert rel < 1e-8, rel
+
+
+def test_exact_fp_edge_inputs(rng):
+    """Zeros, negatives-only, and power-of-two-max inputs (dynamic scale
+    edge) through the fixed-point complex matmul."""
+    from matrix_fhe_tpu.ops.fpmatmul import ExactComplexMatmul
+
+    T = np.exp(1j * rng.uniform(0, 2 * np.pi, size=(32, 32)))
+    mm = ExactComplexMatmul(T, m_tile=64)
+    cases = [
+        (np.zeros((32, 64)), np.zeros((32, 64))),
+        (-np.abs(rng.uniform(0.5, 2.0, size=(32, 64))), -np.ones((32, 64))),
+        (np.full((32, 64), 256.0), np.full((32, 64), -256.0)),  # exact 2^k max
+    ]
+    for xr, xi in cases:
+        yr, yi = mm(jnp.asarray(xr), jnp.asarray(xi))
+        want = T @ (xr + 1j * xi)
+        err = max(np.abs(np.asarray(yr) - want.real).max(),
+                  np.abs(np.asarray(yi) - want.imag).max())
+        assert err < 1e-7 * max(1.0, np.abs(want).max()), err
