@@ -548,6 +548,114 @@ class PallasNttMulNtt:
             return call(d_lo, d_hi, s_lo, s_hi, self._tf, self._ti, self._sc)
 
 
+def _mod_dots_pack(lo, hi, table_planes, *, scheme, bias_bits, neg_c_words,
+                   pair_pack, side):
+    """Digit extraction + scheme dots + 128-bit pack, returning the four
+    packed accumulator words (the REDC/twiddle half is deferred — used by
+    the software-pipelined kernel to split MXU-heavy and VPU-heavy work
+    across grid steps)."""
+    chunks = scheme.chunks
+    n_diag = 2 * chunks - 1
+    digits = [_digit(lo, hi, CHUNK_BITS * j).astype(jnp.int32)
+              for j in range(chunks)]
+    dp = _combo_planes(digits, scheme.combos)
+    if side == "right":
+        def dot(d, i):
+            return jax.lax.dot_general(d, table_planes(i),
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+    else:
+        def dot(d, i):
+            return jax.lax.dot_general(table_planes(i), d,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+    diags_i32 = scheme.diagonals(dp, dot)
+    if scheme.signed:
+        bias = np.int32(1 << bias_bits)
+        diags = [(d + bias).astype(U32) for d in diags_i32]
+    else:
+        diags = [d.astype(U32) for d in diags_i32]
+    if pair_pack:
+        packets = [(14 * t, diags[2 * t] + (diags[2 * t + 1]
+                                            << np.uint32(CHUNK_BITS)))
+                   for t in range(n_diag // 2)]
+        if n_diag % 2:
+            packets.append((14 * (n_diag // 2), diags[-1]))
+    else:
+        packets = [(CHUNK_BITS * s, d) for s, d in enumerate(diags)]
+    parts = [[], [], [], []]
+    for shift, v in packets:
+        w, r = divmod(shift, 32)
+        if r == 0:
+            parts[w].append(v)
+        else:
+            parts[w].append(v << np.uint32(r))
+            parts[w + 1].append(v >> np.uint32(32 - r))
+    if neg_c_words is not None:
+        for w, val in enumerate(neg_c_words):
+            if val:
+                parts[w].append(np.uint32(val))
+    return _sum_words(parts, diags[0])
+
+
+def _pipelined_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twlo_ref,
+                          twhi_ref, sc_ref, olo_ref, ohi_ref,
+                          scrA_ref, scrB_ref,
+                          *, scheme, bias_bits: int, neg_c_words,
+                          pair_pack: bool, sides: Tuple[str, str], B: int):
+    """Software-pipelined fused four-step NTT: grid (L, B+2); step s runs
+    stage-A dots+pack for tile s, stage-A REDC + twiddle + stage-B dots+pack
+    for tile s-1, and stage-B REDC + store for tile s-2 — so tile i's
+    MXU-heavy dots and tile i±1's VPU-heavy folds are independent work in
+    the same body, giving Mosaic's scheduler room to overlap the units.
+
+    MEASURED (round 1, v5e): bit-exact but NEUTRAL vs the plain fused
+    kernel (17.9 vs 17.3 ms per B=64 forward) — Mosaic executes the
+    pl.when phases sequentially rather than co-scheduling MXU and VPU
+    streams.  Kept behind MFHE_NTT_PIPELINED=1 as a building block /
+    record; revisit if Mosaic gains cross-branch scheduling."""
+    s = pl.program_id(1)
+    qc = (sc_ref[0, 0, 1], sc_ref[0, 0, 0], sc_ref[0, 0, 3], sc_ref[0, 0, 2])
+    qh, ql, qih, qil = qc
+    kw = dict(scheme=scheme, bias_bits=bias_bits, neg_c_words=neg_c_words,
+              pair_pack=pair_pack)
+
+    @pl.when(s < B)
+    def _phase_a():
+        t0, t1, t2, t3 = _mod_dots_pack(dlo_ref[0, 0], dhi_ref[0, 0],
+                                        lambda i: tA_ref[0, i],
+                                        side=sides[0], **kw)
+        slot = jax.lax.rem(s, 2)
+        scrA_ref[slot, 0] = t0
+        scrA_ref[slot, 1] = t1
+        scrA_ref[slot, 2] = t2
+        scrA_ref[slot, 3] = t3
+
+    @pl.when((s >= 1) & (s <= B))
+    def _phase_b():
+        slot = jax.lax.rem(s - 1, 2)
+        vh, vl = _redc(scrA_ref[slot, 3], scrA_ref[slot, 2],
+                       scrA_ref[slot, 1], scrA_ref[slot, 0],
+                       qh, ql, qih, qil)
+        vh, vl = _montmul48(vh, vl, twhi_ref[0, 0], twlo_ref[0, 0],
+                            qh, ql, qih, qil)
+        u0, u1, u2, u3 = _mod_dots_pack(vl, vh, lambda i: tB_ref[0, i],
+                                        side=sides[1], **kw)
+        scrB_ref[slot, 0] = u0
+        scrB_ref[slot, 1] = u1
+        scrB_ref[slot, 2] = u2
+        scrB_ref[slot, 3] = u3
+
+    @pl.when(s >= 2)
+    def _phase_c():
+        slot = jax.lax.rem(s - 2, 2)
+        rh, rl = _redc(scrB_ref[slot, 3], scrB_ref[slot, 2],
+                       scrB_ref[slot, 1], scrB_ref[slot, 0],
+                       qh, ql, qih, qil)
+        olo_ref[0, 0] = rl
+        ohi_ref[0, 0] = rh
+
+
 def _plan_scheme(K: int, bits: int):
     """Pick the digit-product scheme and packer constants for a modular
     matmul with contraction length K over `bits`-wide moduli."""
@@ -885,7 +993,47 @@ class PallasFourStepNTT:
             interpret=jax.default_backend() == "cpu",
         )
 
+    @functools.lru_cache(maxsize=8)
+    def _pipelined_call(self, B: int, direction: str):
+        p = self.plan
+        L, n1, n2 = self.L, p.n1, p.n2
+        n_planes = len(self._scheme.combos)
+        sides = ("left", "right") if direction == "fwd" else ("right", "left")
+        kern = functools.partial(
+            _pipelined_ntt_kernel, scheme=self._scheme,
+            bias_bits=self._bias_bits, neg_c_words=self._negc,
+            pair_pack=self._pp, sides=sides, B=B)
+        data_spec = pl.BlockSpec(
+            (1, 1, n1, n2),
+            lambda l, s: (l, jnp.minimum(s, B - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec(
+            (1, 1, n1, n2),
+            lambda l, s: (l, jnp.maximum(s - 2, 0), 0, 0),
+            memory_space=pltpu.VMEM)
+        tbl_spec = pl.BlockSpec((1, n_planes, n1, n1),
+                                lambda l, s: (l, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        tw_spec = pl.BlockSpec((1, 1, n1, n2), lambda l, s: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, s: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(L, B + 2),
+            in_specs=[data_spec, data_spec, tbl_spec, tbl_spec,
+                      tw_spec, tw_spec, sc_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
+                       jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
+            scratch_shapes=[pltpu.VMEM((2, 4, n1, n2), jnp.uint32),
+                            pltpu.VMEM((2, 4, n1, n2), jnp.uint32)],
+            interpret=jax.default_backend() == "cpu",
+        )
+
     def _run(self, lo, hi, direction):
+        import os
+
         p = self.plan
         L, B = lo.shape[0], lo.shape[1]
         lo4 = lo.reshape(L, B, p.n1, p.n2)
@@ -896,7 +1044,10 @@ class PallasFourStepNTT:
         else:
             tA, tB = self._t2i, self._t1i
             twh, twl = self._twi
-        call = self._fused_call(B, direction)
+        if os.environ.get("MFHE_NTT_PIPELINED", "") == "1":
+            call = self._pipelined_call(B, direction)
+        else:
+            call = self._fused_call(B, direction)
         twl4 = twl.reshape(L, 1, p.n1, p.n2)
         twh4 = twh.reshape(L, 1, p.n1, p.n2)
         with jax.enable_x64(False):
