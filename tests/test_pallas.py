@@ -118,3 +118,16 @@ def test_fused_mul_s_matches_composition(rng):
     got = np.asarray(xp.mul_s(a, s))
     want = np.asarray(xr.mul_s(a, s))
     assert (got == want).all()
+
+
+def test_pipelined_fused_ntt_matches(setup, rng, monkeypatch):
+    """MFHE_NTT_PIPELINED=1 variant == the plain fused kernel (interpret)."""
+    import os
+    plan, ref, _ = setup
+    monkeypatch.setenv("MFHE_NTT_PIPELINED", "1")
+    pal = pn.PallasFourStepNTT(plan, row_tile=32)
+    x = np.stack([rng.integers(0, q, size=(3, plan.n), dtype=np.uint64)
+                  for q in plan.moduli])
+    xr = np.asarray(ref.forward(jnp.asarray(x)))
+    xp = np.asarray(pal.forward(jnp.asarray(x)))
+    assert (xr == xp).all()
