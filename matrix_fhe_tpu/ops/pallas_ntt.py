@@ -906,41 +906,12 @@ class PallasFourStepNTT:
             raise ValueError("PallasFourStepNTT requires n1 == n2")
         self.plan = plan
         n, n1, n2 = plan.n, plan.n1, plan.n2
+        t1f, t2f, t1i, t2i, twf, twi = _four_step_tables(plan)
         L = len(plan.moduli)
-        t1f = np.empty((L, n1, n1), dtype=np.uint64)   # [k1, i1] * psi^(i1 n2)
-        t2f = np.empty((L, n2, n2), dtype=np.uint64)   # [k2, i2]
-        t1i = np.empty((L, n1, n1), dtype=np.uint64)   # [i1, k1] * psi^-(i1 n2) / n
-        t2i = np.empty((L, n2, n2), dtype=np.uint64)   # [i2, k2]
-        twf = np.empty((L, n1, n2), dtype=np.uint64)   # [k1, i2] * psi^(i2), mont
-        twi = np.empty((L, n1, n2), dtype=np.uint64)   # [k1, i2] * psi^-(i2), mont
         for l, q in enumerate(plan.moduli):
-            g = _find_generator(q)
-            w_n = pow(g, (q - 1) // n, q)
-            w1 = pow(w_n, n2, q)
-            n_inv = pow(n, q - 2, q)
             r_mod = (1 << 64) % q
-            if plan.negacyclic:
-                psi = pow(g, (q - 1) // (2 * n), q)
-                psi_inv = pow(psi, q - 2, q)
-            else:
-                psi = psi_inv = 1
-            for a in range(n1):
-                pa = pow(psi, a * n2 % (2 * n), q)
-                pai = pow(psi_inv, a * n2 % (2 * n), q)
-                for b in range(n1):
-                    t1f[l, b, a] = pow(w1, a * b % n1, q) * pa % q
-                    t1i[l, a, b] = pow(w1, (-a * b) % n1, q) * n_inv % q * pai % q
-            for a in range(n2):
-                for b in range(n2):
-                    t2f[l, a, b] = pow(w1, a * b % n2, q)
-                    t2i[l, a, b] = pow(w1, (-a * b) % n2, q)
-            w_inv = pow(w_n, q - 2, q)
-            for i2 in range(n2):
-                p2 = pow(psi, i2, q)
-                p2i = pow(psi_inv, i2, q)
-                for k1 in range(n1):
-                    twf[l, k1, i2] = pow(w_n, i2 * k1 % n, q) * p2 % q * r_mod % q
-                    twi[l, k1, i2] = pow(w_inv, i2 * k1 % n, q) * p2i % q * r_mod % q
+            twf[l] = (twf[l].astype(object) * r_mod % q).astype(np.uint64)
+            twi[l] = (twi[l].astype(object) * r_mod % q).astype(np.uint64)
         mods = plan.moduli
         bits = max(int(q).bit_length() for q in mods)
         (self._scheme, self._bias_bits, self._negc,
@@ -1066,6 +1037,412 @@ class PallasFourStepNTT:
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """[L, B, N] u64 -> four-step-order spectrum (u64 wrapper)."""
+        return join_u64(*self.forward_pair(*split_u64(x)))
+
+    def inverse(self, xf: jnp.ndarray) -> jnp.ndarray:
+        return join_u64(*self.inverse_pair(*split_u64(xf)))
+
+
+def _four_step_tables(plan: FourStepPlan):
+    """Plain-domain (non-Montgomery) four-step stage tables + twiddles.
+
+    t1f [k1, i1] * psi^(i1 n2)  (stage-1 forward, left matmul)
+    t2f [k2, i2]                (stage-2 forward, right matmul)
+    t1i/t2i mirror for the inverse (1/n and psi^-1 folded into t1i)
+    twf/twi [k1, i2]: inter-stage twiddle w_N^(i2 k1) * psi^(+-i2)
+    """
+    n, n1, n2 = plan.n, plan.n1, plan.n2
+    L = len(plan.moduli)
+    t1f = np.empty((L, n1, n1), dtype=np.uint64)
+    t2f = np.empty((L, n2, n2), dtype=np.uint64)
+    t1i = np.empty((L, n1, n1), dtype=np.uint64)
+    t2i = np.empty((L, n2, n2), dtype=np.uint64)
+    twf = np.empty((L, n1, n2), dtype=np.uint64)
+    twi = np.empty((L, n1, n2), dtype=np.uint64)
+    for l, q in enumerate(plan.moduli):
+        g = _find_generator(q)
+        w_n = pow(g, (q - 1) // n, q)
+        w1 = pow(w_n, n2, q)
+        n_inv = pow(n, q - 2, q)
+        if plan.negacyclic:
+            psi = pow(g, (q - 1) // (2 * n), q)
+            psi_inv = pow(psi, q - 2, q)
+        else:
+            psi = psi_inv = 1
+        for a in range(n1):
+            pa = pow(psi, a * n2 % (2 * n), q)
+            pai = pow(psi_inv, a * n2 % (2 * n), q)
+            for b in range(n1):
+                t1f[l, b, a] = pow(w1, a * b % n1, q) * pa % q
+                t1i[l, a, b] = pow(w1, (-a * b) % n1, q) * n_inv % q * pai % q
+        for a in range(n2):
+            for b in range(n2):
+                t2f[l, a, b] = pow(w1, a * b % n2, q)
+                t2i[l, a, b] = pow(w1, (-a * b) % n2, q)
+        w_inv = pow(w_n, q - 2, q)
+        for i2 in range(n2):
+            p2 = pow(psi, i2, q)
+            p2i = pow(psi_inv, i2, q)
+            for k1 in range(n1):
+                twf[l, k1, i2] = pow(w_n, i2 * k1 % n, q) * p2 % q
+                twi[l, k1, i2] = pow(w_inv, i2 * k1 % n, q) * p2i % q
+    return t1f, t2f, t1i, t2i, twf, twi
+
+
+# ---------------------------------------------------------------------------
+# Sliced-table fold: the round-2 fused-kernel redesign.
+#
+# Round-1 ablation + a VPU microbenchmark (scripts/micro_vpu.py) showed the
+# fused kernel above is bound by per-element VPU work (~400 weighted i32 ops:
+# signed-diagonal bias, 9..13-diagonal 128-bit carry-counted pack, 64-bit
+# REDC, Montgomery twiddle), not by the MXU dots.  This design cuts that ~3x:
+#
+#  * per-digit pre-reduced tables  T_j = T * 2^(28+7j) mod q  turn the digit
+#    "diagonal" structure into a plain sum over the TABLE digit index only:
+#    the data-digit index j merges into the MXU contraction (digit planes
+#    concatenated along the K axis), so diagonals = chunks_t planes, all
+#    unsigned, and the j-summation costs zero VPU ops.
+#  * R = 2^28 Montgomery fold: every diagonal contribution mod 2^28 fits a
+#    u32 sum without wraparound (<= 15 terms * 2^28 < 2^32), so the packed
+#    low word and the wrap count W need NO carry-compare chains (the
+#    microbench prices those at ~2.5x an add) - S never materializes as a
+#    128-bit quantity at all.
+#  * the inter-stage twiddle runs lazily in R = 2^32 Montgomery form:
+#    u = REDC32_lazy(v * twsl) + v * twsh  < 2q + q*2^3 stays a 2-word value
+#    whose extra magnitude is absorbed by giving stage B one extra data
+#    digit, instead of paying a canonical 64-bit Montgomery multiply.
+#
+# Outputs are canonical residues, bit-identical to the Karatsuba kernels and
+# the XLA oracle path (tests/test_pallas.py asserts this).
+# ---------------------------------------------------------------------------
+
+_M28 = np.uint32(0x0FFFFFFF)
+
+
+def _slice_tables(tables_u64: np.ndarray, moduli, chunks_d: int,
+                  extra_pow2: int = 0) -> np.ndarray:
+    """Per-data-digit pre-reduced digit planes [L, chunks_t, W, chunks_d*K]
+    int8 with T_j = T * 2^(28 + 7j + extra_pow2) mod q concatenated along the
+    contraction axis; chunks_t = ceil(max_bits/7)."""
+    L, W, K = tables_u64.shape
+    bits = max(int(q).bit_length() for q in moduli)
+    chunks_t = -(-bits // CHUNK_BITS)
+    out = np.zeros((L, chunks_t, W, chunks_d * K), dtype=np.int8)
+    for l, q in enumerate(moduli):
+        q = int(q)
+        t_obj = tables_u64[l].astype(object)
+        for j in range(chunks_d):
+            tj = (t_obj * pow(2, 28 + CHUNK_BITS * j + extra_pow2, q) % q
+                  ).astype(np.uint64)
+            for c in range(chunks_t):
+                out[l, c, :, j * K:(j + 1) * K] = (
+                    (tj >> np.uint64(CHUNK_BITS * c)) & np.uint64(127)
+                ).astype(np.int8)
+    return out
+
+
+def _sliced_consts(moduli) -> np.ndarray:
+    """Per-limb SMEM constants (ql, qh, qinv32, qinv28)."""
+    sc = np.empty((len(moduli), 4), dtype=np.uint32)
+    for l, q in enumerate(moduli):
+        mc = MontConsts.make(int(q))
+        sc[l] = (q & 0xFFFFFFFF, q >> 32,
+                 mc.qinv_neg & 0xFFFFFFFF, mc.qinv_neg & 0x0FFFFFFF)
+    return sc.reshape(len(moduli), 1, 4)
+
+
+def _data_digits(lo, hi, chunks: int, axis: int):
+    """Extract `chunks` 7-bit digit planes of the (hi, lo) value and
+    concatenate (as int8) along the contraction axis."""
+    planes = [_digit(lo, hi, CHUNK_BITS * j).astype(jnp.int8)
+              for j in range(chunks)]
+    return jnp.concatenate(planes, axis=axis)
+
+
+def _sliced_dots(dcat, table_planes, chunks_t: int, side: str):
+    """chunks_t MXU dots of the concatenated data digits against the
+    per-digit pre-reduced table planes."""
+    if side == "right":
+        return [jax.lax.dot_general(dcat, table_planes(c),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                for c in range(chunks_t)]
+    return [jax.lax.dot_general(table_planes(c), dcat,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            for c in range(chunks_t)]
+
+
+def _fold_redc28(diags, qh, ql, qi28, diag_bound: int, bits: int,
+                 canonical: bool = True):
+    """(hi, lo) = (sum_c diags[c] << 7c) * 2^-28 mod q, canonical.
+
+    diag_bound: static (Python int) bound on every diagonal plane value;
+    bits: modulus width.  Valid whenever S = sum diags[c]*2^(7c) < q * 2^28,
+    which holds for every contraction this framework runs.
+
+    Decompose each term d*2^(7c) = P_c + 2^28*H_c.  The P_c sum wrap-free
+    in one u32 (<= 15 addends * 2^28 < 2^32), so S mod 2^28 and the wrap
+    count cost no carry compares; carries in the H_c sum are inserted only
+    where the *static* bound says a u32 wrap is possible (never, for 35-bit
+    moduli at radix <= 512) - the fold runs in ~1/3 the weighted VPU ops of
+    the 128-bit carry-counted pack + 64-bit REDC it replaces.
+    """
+    diags = [d.astype(U32) for d in diags]
+    lo_sum = None           # sum of P_c, exact in u32
+    acc_lo = None           # low word of sum of H_c
+    acc_hi = None           # high word (only when the static bound needs it)
+    acc_bound = 0
+    n_lo_terms = 0
+
+    def add_hi(t_lo, t_hi, tb):
+        nonlocal acc_lo, acc_hi, acc_bound
+        if acc_lo is None:
+            acc_lo, acc_hi, acc_bound = t_lo, t_hi, tb
+            return
+        wraps_possible = (min(acc_bound, 0xFFFFFFFF)
+                          + min(tb, 0xFFFFFFFF)) >> 32
+        s_ = acc_lo + t_lo
+        if wraps_possible:
+            cc = (s_ < t_lo).astype(U32)
+            acc_hi = cc if acc_hi is None else acc_hi + cc
+        acc_lo = s_
+        if t_hi is not None:
+            acc_hi = t_hi if acc_hi is None else acc_hi + t_hi
+        acc_bound += tb
+
+    for c, d in enumerate(diags):
+        s = CHUNK_BITS * c
+        if s < 28:
+            p = (d << np.uint32(s)) & _M28 if s else (
+                d & _M28 if diag_bound >> 28 else d)
+            lo_sum = p if lo_sum is None else lo_sum + p
+            n_lo_terms += 1
+            hb = diag_bound >> (28 - s)
+            if hb:
+                add_hi(d >> np.uint32(28 - s), None, hb)
+        else:
+            e = s - 28
+            hb = diag_bound << e
+            if e == 0:
+                add_hi(d, None, hb)
+            elif hb < (1 << 32):
+                add_hi(d << np.uint32(e), None, hb)
+            else:
+                add_hi(d << np.uint32(e), d >> np.uint32(32 - e), hb)
+    assert n_lo_terms < 15 and lo_sum is not None
+    # m = S * (-q^-1) mod 2^28   (S mod 2^28 == lo_sum mod 2^28)
+    m = ((lo_sum & _M28) * qi28) & _M28
+    # u = m * q  (m < 2^28, q < 2^48)
+    uh0, ul0 = _wide_mul(m, ql)
+    if bits <= 35:
+        uhi = uh0 + m * qh        # m*qh < 2^31; sum < 2^32: single word
+        u28lo = (ul0 >> np.uint32(28)) | (uhi << np.uint32(4))
+        u28hi = uhi >> np.uint32(28)
+    else:
+        h1, l1 = _mul_u32_u16(m, qh)
+        uw1 = uh0 + l1
+        uw2 = h1 + (uw1 < l1).astype(U32)
+        u28lo = (ul0 >> np.uint32(28)) | (uw1 << np.uint32(4))
+        u28hi = (uw1 >> np.uint32(28)) | (uw2 << np.uint32(4))
+    # floor((lo_sum + u mod 2^28)/2^28) == (S mod 2^28 + u mod 2^28 >= 2^28)
+    # + lo_sum's own multiples of 2^28, both parts of r, in one expression
+    w_cnt = (lo_sum + (ul0 & _M28)) >> np.uint32(28)
+    # r = sum H_c + w_cnt + u>>28  (exact; r < 2q)
+    add_hi(w_cnt, None, 15)
+    add_hi(u28lo, None, (1 << 32) - 1)
+    rl = acc_lo
+    rh = u28hi if acc_hi is None else acc_hi + u28hi
+    if not canonical:
+        return rh, rl
+    ge = (rh > qh) | ((rh == qh) & (rl >= ql))
+    borrow = (rl < ql).astype(U32)
+    return (jnp.where(ge, rh - qh - borrow, rh),
+            jnp.where(ge, rl - ql, rl))
+
+
+def _tw_mul_lazy(vh, vl, twsl, twsh, qh, ql, qi32):
+    """u = v * tw * 2^-32 mod q, LAZY (< 2q + q*twsh_max): tws = tw * 2^32
+    mod q split as (twsh, twsl); v canonical.  For 35-bit moduli the result
+    is < 2^39 and feeds a 6-digit extraction."""
+    # p = v * twsl < q * 2^32  (3 words)
+    h0, p0 = _wide_mul(vl, twsl)
+    h1, l1 = _mul_u32_u16(twsl, vh)          # vh < 2^16 for q < 2^48
+    p1 = h0 + l1
+    p2 = h1 + (p1 < l1).astype(U32)
+    # REDC32, lazy
+    m = p0 * qi32
+    uh0, ul0 = _wide_mul(m, ql)
+    uh1, ul1 = _mul_u32_u16(m, qh)
+    u1 = uh0 + ul1
+    u2 = uh1 + (u1 < ul1).astype(U32)
+    c0 = (p0 != 0).astype(U32)               # (p0 + u0) >> 32
+    a = p1 + u1
+    ca = (a < u1).astype(U32)
+    rl = a + c0
+    ca = ca + (rl < c0).astype(U32)
+    rh = p2 + u2 + ca                        # (rh, rl) < 2q
+    # w = v * twsh  (twsh < 2^16)
+    wh, wl = _mul_u32_u16(vl, twsh)
+    wh = wh + vh * twsh
+    # u_lazy = r + w
+    sl = rl + wl
+    sh = rh + wh + (sl < wl).astype(U32)
+    return sh, sl
+
+
+def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
+                       sc_ref, olo_ref, ohi_ref,
+                       *, chunks_d: int, chunks_t: int, chunks_mid: int,
+                       sides: Tuple[str, str], k: int, bits: int):
+    """Both four-step stages + the inter-stage twiddle on one [n1, n2] tile,
+    sliced-table fold design (see module comment above)."""
+    import os as _os
+    _abl = _os.environ.get("MFHE_SLICED_ABLATE", "")
+    ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
+    qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
+    lo = dlo_ref[0, 0]
+    hi = dhi_ref[0, 0]
+    if _abl == "io":
+        olo_ref[0, 0] = lo
+        ohi_ref[0, 0] = hi
+        return
+    axA = 0 if sides[0] == "left" else 1
+    dcat = _data_digits(lo, hi, chunks_d, axA)
+    if _abl == "extract":
+        s = dcat.astype(jnp.int32)
+        acc = (s[:k] if axA == 0 else s[:, :k]).astype(U32)
+        olo_ref[0, 0] = acc
+        ohi_ref[0, 0] = acc
+        return
+    diags = _sliced_dots(dcat, lambda c: tA_ref[0, c], chunks_t, sides[0])
+    if _abl == "dots":
+        acc = sum(diags).astype(U32)
+        olo_ref[0, 0] = acc
+        ohi_ref[0, 0] = acc
+        return
+    vh, vl = _fold_redc28(diags, qh, ql, qi28,
+                          diag_bound=chunks_d * k * 127 * 127, bits=bits)
+    if _abl == "stage1":
+        olo_ref[0, 0] = vl
+        ohi_ref[0, 0] = vh
+        return
+    uh, ul = _tw_mul_lazy(vh, vl, twl_ref[0, 0], twh_ref[0, 0], qh, ql, qi32)
+    if _abl == "tw":
+        olo_ref[0, 0] = ul
+        ohi_ref[0, 0] = uh
+        return
+    axB = 0 if sides[1] == "left" else 1
+    ucat = _data_digits(ul, uh, chunks_mid, axB)
+    diags2 = _sliced_dots(ucat, lambda c: tB_ref[0, c], chunks_t, sides[1])
+    rh, rl = _fold_redc28(diags2, qh, ql, qi28,
+                          diag_bound=chunks_mid * k * 127 * 127, bits=bits)
+    olo_ref[0, 0] = rl
+    ohi_ref[0, 0] = rh
+
+
+class SlicedFourStepNTT:
+    """Fused two-stage negacyclic NTT with the sliced-table fold.  Same API
+    and bit-identical output order/values as PallasFourStepNTT; ~3x fewer
+    per-element VPU ops (the round-1 kernel's binding resource).
+
+    Requires max modulus < 2^35 + a bit (the lazy twiddle feeds stage B a
+    value < 2q + q*2^(bits-32); chunks_mid covers it) - every bench/ref
+    four-step modulus qualifies; wider moduli fall back to PallasFourStepNTT.
+    """
+
+    def __init__(self, plan: FourStepPlan, row_tile: int = 256):
+        if plan.n1 != plan.n2:
+            raise ValueError("SlicedFourStepNTT requires n1 == n2")
+        self.plan = plan
+        mods = plan.moduli
+        bits = max(int(q).bit_length() for q in mods)
+        self.chunks_d = -(-bits // CHUNK_BITS)
+        self.chunks_t = self.chunks_d
+        # lazy twiddle output bound: 2q + q*2^(bits-32) -> bits+max(1,bits-31)
+        lazy_bits = bits + max(2, bits - 31)
+        self.chunks_mid = -(-lazy_bits // CHUNK_BITS)
+        t1f, t2f, t1i, t2i, twf, twi = _four_step_tables(plan)
+        self._t1f = jnp.asarray(_slice_tables(t1f, mods, self.chunks_d))
+        self._t2f = jnp.asarray(_slice_tables(t2f, mods, self.chunks_mid))
+        self._t1i = jnp.asarray(_slice_tables(t1i, mods, self.chunks_mid))
+        self._t2i = jnp.asarray(_slice_tables(t2i, mods, self.chunks_d))
+        tws_f = np.empty_like(twf)
+        tws_i = np.empty_like(twi)
+        for l, q in enumerate(mods):
+            q = int(q)
+            tws_f[l] = (twf[l].astype(object) * ((1 << 32) % q) % q
+                        ).astype(np.uint64)
+            tws_i[l] = (twi[l].astype(object) * ((1 << 32) % q) % q
+                        ).astype(np.uint64)
+        self._twf = (jnp.asarray((tws_f & np.uint64(0xFFFFFFFF))
+                                 .astype(np.uint32)),
+                     jnp.asarray((tws_f >> np.uint64(32)).astype(np.uint32)))
+        self._twi = (jnp.asarray((tws_i & np.uint64(0xFFFFFFFF))
+                                 .astype(np.uint32)),
+                     jnp.asarray((tws_i >> np.uint64(32)).astype(np.uint32)))
+        self._sc = jnp.asarray(_sliced_consts(mods))
+        self.L = len(mods)
+
+    @functools.lru_cache(maxsize=8)
+    def _fused_call(self, B: int, direction: str):
+        p = self.plan
+        L, n1, n2 = self.L, p.n1, p.n2
+        fwd = direction == "fwd"
+        sides = ("left", "right") if fwd else ("right", "left")
+        cA = self.chunks_d
+        bits = max(int(q).bit_length() for q in p.moduli)
+        kern = functools.partial(
+            _sliced_ntt_kernel, chunks_d=cA, chunks_t=self.chunks_t,
+            chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits)
+        data_spec = pl.BlockSpec((1, 1, n1, n2), lambda l, b: (l, b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        tA_spec = pl.BlockSpec((1, self.chunks_t, n1, cA * n1),
+                               lambda l, b: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        tB_spec = pl.BlockSpec((1, self.chunks_t, n1, self.chunks_mid * n1),
+                               lambda l, b: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        tw_spec = pl.BlockSpec((1, 1, n1, n2), lambda l, b: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, b: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(L, B),
+            in_specs=[data_spec, data_spec, tA_spec, tB_spec,
+                      tw_spec, tw_spec, sc_spec],
+            out_specs=(data_spec, data_spec),
+            out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
+                       jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
+            interpret=jax.default_backend() == "cpu",
+        )
+
+    def _run(self, lo, hi, direction):
+        p = self.plan
+        L, B = lo.shape[0], lo.shape[1]
+        lo4 = lo.reshape(L, B, p.n1, p.n2)
+        hi4 = hi.reshape(L, B, p.n1, p.n2)
+        if direction == "fwd":
+            tA, tB = self._t1f, self._t2f
+            twl, twh = self._twf
+        else:
+            tA, tB = self._t2i, self._t1i
+            twl, twh = self._twi
+        call = self._fused_call(B, direction)
+        twl4 = twl.reshape(L, 1, p.n1, p.n2)
+        twh4 = twh.reshape(L, 1, p.n1, p.n2)
+        with jax.enable_x64(False):
+            olo, ohi = call(lo4, hi4, tA, tB, twl4, twh4, self._sc)
+        return olo.reshape(L, B, p.n), ohi.reshape(L, B, p.n)
+
+    def forward_pair(self, lo, hi):
+        return self._run(lo, hi, "fwd")
+
+    def inverse_pair(self, lo, hi):
+        return self._run(lo, hi, "inv")
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         return join_u64(*self.forward_pair(*split_u64(x)))
 
     def inverse(self, xf: jnp.ndarray) -> jnp.ndarray:

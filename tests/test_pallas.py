@@ -131,3 +131,29 @@ def test_pipelined_fused_ntt_matches(setup, rng, monkeypatch):
     xr = np.asarray(ref.forward(jnp.asarray(x)))
     xp = np.asarray(pal.forward(jnp.asarray(x)))
     assert (xr == xp).all()
+
+
+def test_sliced_forward_inverse_bit_exact(setup, rng):
+    """Round-2 sliced-table fold kernel == XLA oracle, both directions,
+    at 35-bit and small-prime chunk counts."""
+    plan, oracle, _ = setup
+    sliced = pn.SlicedFourStepNTT(plan)
+    x = np.stack([rng.integers(0, q, size=(2, plan.n), dtype=np.uint64)
+                  for q in plan.moduli])
+    xj = jnp.asarray(x)
+    want = oracle.forward(xj)
+    got = sliced.forward(xj)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    np.testing.assert_array_equal(
+        np.asarray(oracle.inverse(want)), np.asarray(sliced.inverse(want)))
+
+
+def test_sliced_small_primes_bit_exact(rng):
+    primes = generate_primes_1mod(2, 23, 1 << 11)
+    plan = FourStepPlan.make(1024, primes)
+    oracle, sliced = FourStepNTT(plan), pn.SlicedFourStepNTT(plan)
+    x = np.stack([rng.integers(0, q, size=(1, plan.n), dtype=np.uint64)
+                  for q in plan.moduli])
+    xj = jnp.asarray(x)
+    np.testing.assert_array_equal(np.asarray(oracle.forward(xj)),
+                                  np.asarray(sliced.forward(xj)))
