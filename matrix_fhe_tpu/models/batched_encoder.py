@@ -41,7 +41,8 @@ class BatchedEncoder:
         rr, ri = self.encoder.quantize(cr, ci)               # scale+round+RNS
         return self.wt.forward(rr), self.wt.forward(ri)      # mod-q W-NTT
 
-    def decode_from_wntt_eval(self, ev_re: jnp.ndarray, ev_im: jnp.ndarray
+    def decode_from_wntt_eval(self, ev_re: jnp.ndarray, ev_im: jnp.ndarray,
+                              delta_override: float | None = None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Inverse of encode_to_wntt_eval (the plaintext half of
         decode_eval_pair_to_complex, HE.cu:1619-1689): W-CRT inverse, exact
@@ -51,6 +52,7 @@ class BatchedEncoder:
         tables and the centered compose/Delta happens via the float-exact
         mod-2^64 fold (ops/ddfloat.compose_scaled_to_float) instead of the
         7-limb big-int chain — bit-different in f64 ulps only."""
+        delta = self.params.delta if delta_override is None else delta_override
         if self.encoder.fast_float:
             from ..ops.ddfloat import compose_scaled_to_float
             p = self.params
@@ -59,12 +61,14 @@ class BatchedEncoder:
                 big_q *= int(q)
             both = jnp.stack([ev_re, ev_im], axis=2)         # [L, W, 2, n, n]
             s2 = self.wt.inverse_scaled(both)
-            f2 = compose_scaled_to_float(s2, p.moduli, big_q, p.delta)
+            f2 = compose_scaled_to_float(s2, p.moduli, big_q, delta)
             fr, fi = f2[:, 0], f2[:, 1]
         else:
             cr = self.wt.inverse(ev_re)
             ci = self.wt.inverse(ev_im)
-            fr, fi = self.encoder.dequantize_exact(cr, ci)   # [W, n, n] f64
+            fr, fi = (self.encoder.dequantize_exact(cr, ci)
+                      if delta_override is None else
+                      self.encoder.dequantize_exact_delta(cr, ci, delta))
         er, ei = self.wt.dft_forward_pair(fr, fi)
         return self.encoder.dft2(er, ei)
 

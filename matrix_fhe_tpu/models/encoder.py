@@ -161,9 +161,13 @@ class Encoder:
     def dequantize_exact(self, rns_re, rns_im):
         """Exact big-int CRT -> f64 / Delta (dequantize_exact_kernel,
         encoder.cu:112-150); inputs [L, ..., n, n]."""
-        d = self.params.delta
-        return (self._composer.compose_to_float(rns_re, d),
-                self._composer.compose_to_float(rns_im, d))
+        return self.dequantize_exact_delta(rns_re, rns_im, self.params.delta)
+
+    def dequantize_exact_delta(self, rns_re, rns_im, delta):
+        """dequantize_exact with an explicit scale (e.g. Delta^2 for
+        un-rescaled homomorphic products)."""
+        return (self._composer.compose_to_float(rns_re, delta),
+                self._composer.compose_to_float(rns_im, delta))
 
     def decode_lane_from_rns_eval(self, rns_re, rns_im):
         """encoder.cu:470-490: exact dequantize then V E V^T."""

@@ -1294,51 +1294,56 @@ def _tw_mul_lazy(vh, vl, twsl, twsh, qh, ql, qi32):
 def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
                        sc_ref, olo_ref, ohi_ref,
                        *, chunks_d: int, chunks_t: int, chunks_mid: int,
-                       sides: Tuple[str, str], k: int, bits: int):
-    """Both four-step stages + the inter-stage twiddle on one [n1, n2] tile,
-    sliced-table fold design (see module comment above)."""
+                       sides: Tuple[str, str], k: int, bits: int, bb: int):
+    """Both four-step stages + the inter-stage twiddle on one [n1, n2] tile
+    (`bb` of them per grid cell), sliced-table fold design (see module
+    comment above)."""
     import os as _os
     _abl = _os.environ.get("MFHE_SLICED_ABLATE", "")
     ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
     qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
-    lo = dlo_ref[0, 0]
-    hi = dhi_ref[0, 0]
-    if _abl == "io":
-        olo_ref[0, 0] = lo
-        ohi_ref[0, 0] = hi
-        return
-    axA = 0 if sides[0] == "left" else 1
-    dcat = _data_digits(lo, hi, chunks_d, axA)
-    if _abl == "extract":
-        s = dcat.astype(jnp.int32)
-        acc = (s[:k] if axA == 0 else s[:, :k]).astype(U32)
-        olo_ref[0, 0] = acc
-        ohi_ref[0, 0] = acc
-        return
-    diags = _sliced_dots(dcat, lambda c: tA_ref[0, c], chunks_t, sides[0])
-    if _abl == "dots":
-        acc = sum(diags).astype(U32)
-        olo_ref[0, 0] = acc
-        ohi_ref[0, 0] = acc
-        return
-    vh, vl = _fold_redc28(diags, qh, ql, qi28,
-                          diag_bound=chunks_d * k * 127 * 127, bits=bits)
-    if _abl == "stage1":
-        olo_ref[0, 0] = vl
-        ohi_ref[0, 0] = vh
-        return
-    uh, ul = _tw_mul_lazy(vh, vl, twl_ref[0, 0], twh_ref[0, 0], qh, ql, qi32)
-    if _abl == "tw":
-        olo_ref[0, 0] = ul
-        ohi_ref[0, 0] = uh
-        return
-    axB = 0 if sides[1] == "left" else 1
-    ucat = _data_digits(ul, uh, chunks_mid, axB)
-    diags2 = _sliced_dots(ucat, lambda c: tB_ref[0, c], chunks_t, sides[1])
-    rh, rl = _fold_redc28(diags2, qh, ql, qi28,
-                          diag_bound=chunks_mid * k * 127 * 127, bits=bits)
-    olo_ref[0, 0] = rl
-    ohi_ref[0, 0] = rh
+    for j in range(bb):
+        lo = dlo_ref[0, j]
+        hi = dhi_ref[0, j]
+        if _abl == "io":
+            olo_ref[0, j] = lo
+            ohi_ref[0, j] = hi
+            continue
+        axA = 0 if sides[0] == "left" else 1
+        dcat = _data_digits(lo, hi, chunks_d, axA)
+        if _abl == "extract":
+            s = dcat.astype(jnp.int32)
+            acc = (s[:k] if axA == 0 else s[:, :k]).astype(U32)
+            olo_ref[0, j] = acc
+            ohi_ref[0, j] = acc
+            continue
+        diags = _sliced_dots(dcat, lambda c: tA_ref[0, c], chunks_t, sides[0])
+        if _abl == "dots":
+            acc = sum(diags).astype(U32)
+            olo_ref[0, j] = acc
+            ohi_ref[0, j] = acc
+            continue
+        vh, vl = _fold_redc28(diags, qh, ql, qi28,
+                              diag_bound=chunks_d * k * 127 * 127, bits=bits)
+        if _abl == "stage1":
+            olo_ref[0, j] = vl
+            ohi_ref[0, j] = vh
+            continue
+        uh, ul = _tw_mul_lazy(vh, vl, twl_ref[0, 0], twh_ref[0, 0],
+                              qh, ql, qi32)
+        if _abl == "tw":
+            olo_ref[0, j] = ul
+            ohi_ref[0, j] = uh
+            continue
+        axB = 0 if sides[1] == "left" else 1
+        ucat = _data_digits(ul, uh, chunks_mid, axB)
+        diags2 = _sliced_dots(ucat, lambda c: tB_ref[0, c], chunks_t,
+                              sides[1])
+        rh, rl = _fold_redc28(diags2, qh, ql, qi28,
+                              diag_bound=chunks_mid * k * 127 * 127,
+                              bits=bits)
+        olo_ref[0, j] = rl
+        ohi_ref[0, j] = rh
 
 
 class SlicedFourStepNTT:
@@ -1386,16 +1391,21 @@ class SlicedFourStepNTT:
 
     @functools.lru_cache(maxsize=8)
     def _fused_call(self, B: int, direction: str):
+        import os
+
         p = self.plan
         L, n1, n2 = self.L, p.n1, p.n2
         fwd = direction == "fwd"
         sides = ("left", "right") if fwd else ("right", "left")
         cA = self.chunks_d
         bits = max(int(q).bit_length() for q in p.moduli)
+        bb = int(os.environ.get("MFHE_SLICED_BB", "1"))
+        while B % bb:
+            bb //= 2
         kern = functools.partial(
             _sliced_ntt_kernel, chunks_d=cA, chunks_t=self.chunks_t,
-            chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits)
-        data_spec = pl.BlockSpec((1, 1, n1, n2), lambda l, b: (l, b, 0, 0),
+            chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits, bb=bb)
+        data_spec = pl.BlockSpec((1, bb, n1, n2), lambda l, b: (l, b, 0, 0),
                                  memory_space=pltpu.VMEM)
         tA_spec = pl.BlockSpec((1, self.chunks_t, n1, cA * n1),
                                lambda l, b: (l, 0, 0, 0),
@@ -1409,7 +1419,7 @@ class SlicedFourStepNTT:
                                memory_space=pltpu.SMEM)
         return pl.pallas_call(
             kern,
-            grid=(L, B),
+            grid=(L, B // bb),
             in_specs=[data_spec, data_spec, tA_spec, tB_spec,
                       tw_spec, tw_spec, sc_spec],
             out_specs=(data_spec, data_spec),
