@@ -20,11 +20,98 @@ efficiency (target: >= 85% on 2 hosts, BASELINE.md).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 
+def mp_worker(pid: int, nproc: int, port: int) -> None:
+    """One process of the multi-process validation fleet: 4 virtual CPU
+    devices per process, gloo collectives over the coordinator — the same
+    jax.distributed program a real 2-host TPU fleet runs."""
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4"
+                               ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from matrix_fhe_tpu.parallel import multihost as mh
+    active = mh.init_distributed(f"127.0.0.1:{port}", nproc, pid)
+    assert active and jax.process_count() == nproc
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from matrix_fhe_tpu.ops.ntt_large import (FourStepNTT, FourStepPlan,
+                                              generate_primes_1mod)
+    from matrix_fhe_tpu.parallel.dist_ntt import DistFourStepNTT
+
+    rng = np.random.default_rng(0)          # same stream on every process
+    N, L, B = 1 << 12, 3, 4
+    primes = generate_primes_1mod(L, 35, 2 * N)
+    plan = FourStepPlan.make(N, primes)
+    ntt = FourStepNTT(plan)
+    x_np = np.stack([rng.integers(0, q, size=(B, N), dtype=np.uint64)
+                     for q in primes])
+    want = None
+
+    # 1. dp over DCN: batch-sharded, zero-comm; each host checks its shards
+    mesh = mh.hybrid_mesh({"dp": nproc}, {"coeff": 4})
+    xg = mh.global_from_host_data(x_np, mesh, P(None, "dp", None))
+    f = jax.jit(ntt.forward,
+                out_shardings=NamedSharding(mesh, P(None, "dp", None)))
+    yg = f(xg)
+    want = np.asarray(jax.jit(ntt.forward)(jnp.asarray(x_np)))
+    for idx, data in mh.local_shards(yg):
+        assert (data == want[idx]).all(), "dp-sharded NTT shard mismatch"
+
+    # 2. coeff axis spanning BOTH processes: the dist-NTT all_to_all crosses
+    #    the process boundary (DCN path of the stage exchange)
+    from jax.sharding import Mesh
+    flat = Mesh(np.array(jax.devices()).reshape(4 * nproc), ("coeff",))
+    dist = DistFourStepNTT(plan, flat, axis="coeff", use_pallas=False)
+    x4 = x_np.reshape(L, B, plan.n1, plan.n2)
+    xg2 = mh.global_from_host_data(x4, flat, P(None, None, None, "coeff"))
+    zg = dist._fwd_sm(xg2, dist._twf_r, dist._twist_f_r)
+    wantz = np.asarray(jax.jit(ntt.forward)(jnp.asarray(x_np))
+                       ).reshape(L, B, plan.n1, plan.n2)
+    for idx, data in mh.local_shards(zg):
+        assert (data == wantz[idx]).all(), "cross-process dist NTT mismatch"
+
+    # 3. roundtrip through the cross-process inverse
+    xback = dist._inv_sm(zg, dist._twi_r, dist._twist_i_r)
+    for idx, data in mh.local_shards(xback):
+        assert (data == x4[idx]).all(), "cross-process inverse mismatch"
+
+    print(f"[mp-worker {pid}] OK: dp-sharded + cross-process all_to_all "
+          f"bit-exact on {jax.device_count()} global devices", flush=True)
+
+
+def mp_parent(nproc: int) -> None:
+    port = int(os.environ.get("MFHE_MP_PORT", "47911"))
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--mp-worker", str(i), "--mp-nproc", str(nproc),
+         "--mp-port", str(port)],
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+        for i in range(nproc)]
+    codes = [p.wait() for p in procs]
+    ok = all(c == 0 for c in codes)
+    print(json.dumps({"mode": "multiprocess-cpu-validation",
+                      "processes": nproc, "devices_per_process": 4,
+                      "ok": ok, "exit_codes": codes}))
+    sys.exit(0 if ok else 1)
+
+
 def main():
+    if "--multiprocess" in sys.argv:
+        mp_parent(int(sys.argv[sys.argv.index("--multiprocess") + 1]))
+        return
+    if "--mp-worker" in sys.argv:
+        mp_worker(int(sys.argv[sys.argv.index("--mp-worker") + 1]),
+                  int(sys.argv[sys.argv.index("--mp-nproc") + 1]),
+                  int(sys.argv[sys.argv.index("--mp-port") + 1]))
+        return
     os.makedirs(".cache/xla", exist_ok=True)
     n_want = int(os.environ.get("BENCH_DIST_DEVICES", "8"))
     # the CPU fallback mesh needs this flag before the CPU client exists;
