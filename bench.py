@@ -83,11 +83,45 @@ def main():
     back = np.asarray(join_u64(*inv(*fwd(lo, hi))))
     assert (back == x).all(), "NTT roundtrip mismatch"
 
+    extra = {}
+    if os.environ.get("MFHE_BENCH_REF", "1") == "1":
+        # ref-preset regression gate (VERDICT r1 #5): the flagship
+        # encode->encrypt->decrypt->decode pipeline at full reference
+        # parameters must stay under the src/main.cu:150 1e-4 contract.
+        try:
+            t0 = time.time()
+            from matrix_fhe_tpu import init_he_backend
+            from matrix_fhe_tpu.config import get_params
+            p = get_params("ref")
+            ctx = init_he_backend("ref")
+            sk = ctx.generate_secret_key()
+            r = np.random.default_rng(7)
+            re = r.uniform(-4, 4, size=(p.phi, p.n, p.n))
+            im = r.uniform(-4, 4, size=(p.phi, p.n, p.n))
+            dr, di = ctx.roundtrip(jnp.asarray(re), jnp.asarray(im), sk)
+            _ = jax.device_get(dr[:1, :1, :1])
+            t_first = time.time() - t0
+            t0 = time.perf_counter()
+            dr, di = ctx.roundtrip(jnp.asarray(re), jnp.asarray(im), sk)
+            _ = jax.device_get(dr[:1, :1, :1])
+            rt_ms = (time.perf_counter() - t0 - 0.03) * 1e3
+            err = float(np.hypot(np.asarray(dr) - re,
+                                 np.asarray(di) - im).max())
+            assert err < 1e-4, f"ref pipeline err {err} >= 1e-4"
+            extra = {"ref_roundtrip_ms": round(rt_ms, 1),
+                     "ref_roundtrip_err": float(f"{err:.2e}")}
+            sys.stderr.write(f"[bench] ref roundtrip: {rt_ms:.1f} ms, "
+                             f"err {err:.2e} (first+compile {t_first:.0f}s)\n")
+        except Exception as e:  # pragma: no cover - report, don't mask NTT
+            sys.stderr.write(f"[bench] ref gate FAILED: {e}\n")
+            extra = {"ref_gate_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "NTTs/sec/chip (N=2^16, L=16, negacyclic, 35-bit primes)",
         "value": round(ntts_per_sec, 1),
         "unit": "NTT/s",
         "vs_baseline": round(ntts_per_sec / 1_000_000.0, 6),
+        **extra,
     }))
 
 

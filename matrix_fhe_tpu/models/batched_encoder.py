@@ -27,10 +27,11 @@ from .encoder import Encoder
 
 class BatchedEncoder:
     def __init__(self, params: GLParams, tables: GLTables | None = None,
-                 wt: WTransform | None = None):
+                 wt: WTransform | None = None,
+                 fast_float: bool | None = None):
         t = tables or build_tables(params)
         self.params = params
-        self.encoder = Encoder(params, t)
+        self.encoder = Encoder(params, t, fast_float=fast_float)
         self.wt = wt or WTransform(params, t)
 
     def encode_to_wntt_eval(self, m_re: jnp.ndarray, m_im: jnp.ndarray

@@ -64,14 +64,23 @@ class HEContext:
     """
 
     def __init__(self, params: GLParams, ring: str = RING_NEGACYCLIC,
-                 zero_noise: bool = False):
+                 zero_noise: bool = False,
+                 use_pallas: bool | None = None,
+                 fast_float: bool | None = None):
+        """use_pallas / fast_float: None = auto (Pallas + float-exact decode
+        on TPU, XLA-composed + exact-bigint elsewhere); explicit values force
+        either configuration — e.g. the TPU kernel path through interpret-
+        mode Pallas on CPU (tests/test_pipeline.py)."""
         self.params = params
         self.ring = ring
         self.zero_noise = zero_noise
         self.tables = build_tables(params)
-        self.wt = WTransform(params, self.tables)
-        self.xntt = XNTT(params, ring=ring, tables=self.tables)
-        self.batched_encoder = BatchedEncoder(params, self.tables, self.wt)
+        self.wt = WTransform(params, self.tables, use_pallas=use_pallas,
+                             fast_float=fast_float)
+        self.xntt = XNTT(params, ring=ring, tables=self.tables,
+                         use_pallas=use_pallas)
+        self.batched_encoder = BatchedEncoder(params, self.tables, self.wt,
+                                              fast_float=fast_float)
         self.encoder = self.batched_encoder.encoder
         # per-limb Montgomery constants broadcastable over [L, W, n, n]
         self._c4 = mm.mont_consts_arrays(params.moduli, shape_suffix=(1, 1, 1))

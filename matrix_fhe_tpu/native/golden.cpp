@@ -12,6 +12,7 @@
 // crt_compose_centerlift_big_kernel, encoder.cu:191-245).
 
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -98,6 +99,37 @@ void mf_ternary_secret(long long L, long long W, long long n,
                 u64 v = r == 0 ? 0 : (r == 1 ? 1 : moduli[l] - 1);
                 out[(l * W + w) * n + x] = v;
             }
+        }
+    }
+}
+
+// reference-exact discrete Gaussian noise (gaussian_noise_kernel,
+// HE.cu:581-627): splitmix64 counter hash -> Box-Muller -> llround with
+// native libm (independent of XLA's emulated-f64 log/cos/sqrt), the same
+// integer mapped into every limb.
+static u64 splitmix64(u64 x) {
+    x += 0x9E3779B97F4A7C15ULL;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+    return x ^ (x >> 31);
+}
+
+void mf_gaussian_noise(long long L, long long W, long long n, double sigma,
+                       const u64* moduli, u64* out /* [L][W][n][n] */) {
+    long long per = W * n * n;
+    for (long long c = 0; c < per; ++c) {
+        u64 seed = 0xD6E8FEB86659FD93ULL ^ (u64)c;
+        u64 r1 = splitmix64(seed);
+        u64 r2 = splitmix64(r1);
+        double inv53 = 1.0 / 9007199254740992.0;  // 2^-53
+        double u1 = ((double)(r1 >> 11) + 1.0) * inv53;
+        double u2 = ((double)(r2 >> 11) + 1.0) * inv53;
+        double mag = sigma * sqrt(-2.0 * log(u1));
+        double z = mag * cos(6.283185307179586 * u2);
+        long long v = llround(z);
+        for (long long l = 0; l < L; ++l) {
+            u64 q = moduli[l];
+            out[l * per + c] = v >= 0 ? (u64)v : q - (u64)(-v);
         }
     }
 }

@@ -48,6 +48,9 @@ def _load():
             lib.mf_ternary_secret.argtypes = [
                 ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
                 _U64P, _U64P]
+            lib.mf_gaussian_noise.argtypes = [
+                ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+                ctypes.c_double, _U64P, _U64P]
             lib.mf_crt_compose_centered.argtypes = [
                 ctypes.c_longlong, _U64P, _U64P, _U64P, _U64P, _U64P, _U64P,
                 ctypes.c_longlong, _U64P,
@@ -103,6 +106,14 @@ def ternary_secret(L: int, W: int, n: int, moduli) -> np.ndarray:
     q = np.ascontiguousarray(moduli, dtype=np.uint64)
     out = np.zeros((L, W, n), dtype=np.uint64)
     lib.mf_ternary_secret(L, W, n, _p(q), _p(out))
+    return out
+
+
+def gaussian_noise(L: int, W: int, n: int, sigma: float, moduli) -> np.ndarray:
+    lib = _load()
+    q = np.ascontiguousarray(moduli, dtype=np.uint64)
+    out = np.zeros((L, W, n, n), dtype=np.uint64)
+    lib.mf_gaussian_noise(L, W, n, float(sigma), _p(q), _p(out))
     return out
 
 

