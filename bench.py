@@ -40,7 +40,8 @@ def main():
 
     from matrix_fhe_tpu.ops.ntt_large import (FourStepNTT, FourStepPlan,
                                               generate_primes_1mod)
-    from matrix_fhe_tpu.ops.pallas_ntt import (PallasFourStepNTT, join_u64,
+    from matrix_fhe_tpu.ops.pallas_ntt import (PallasFourStepNTT,
+                                               SlicedFourStepNTT, join_u64,
                                                split_u64)
 
     N = 1 << 16
@@ -50,23 +51,37 @@ def main():
     ITERS = int(os.environ.get("BENCH_ITERS", "40"))
     primes = generate_primes_1mod(L, 35, 2 * N)
     plan = FourStepPlan.make(N, primes)
-    if os.environ.get("BENCH_IMPL", "pallas") == "pallas":
-        ntt = PallasFourStepNTT(plan)  # fused Mosaic two-stage kernel
+    impl = os.environ.get("BENCH_IMPL", "sliced")
+    if impl == "sliced":
+        # round-2 sliced-table fold kernel; data stays in the native
+        # [L, B, n1, n2] u32-pair tile layout across chained calls (the
+        # [L,B,N] reshape around the Mosaic call costs a real XLA copy)
+        ntt = SlicedFourStepNTT(plan)
+        fwd = jax.jit(ntt.forward_pair4)
+        inv = jax.jit(ntt.inverse_pair4)
+        reshape4 = True
+    elif impl == "pallas":
+        ntt = PallasFourStepNTT(plan)  # round-1 fused Mosaic kernel
         fwd = jax.jit(ntt.forward_pair)
         inv = jax.jit(ntt.inverse_pair)
+        reshape4 = False
     else:
         ntt = FourStepNTT(plan)        # XLA-composed chunked matmuls
         fwd = jax.jit(lambda lo, hi: split_u64(ntt.forward(join_u64(lo, hi))))
         inv = jax.jit(lambda lo, hi: split_u64(ntt.inverse(join_u64(lo, hi))))
+        reshape4 = False
 
     rng = np.random.default_rng(0)
     x = np.stack(
         [rng.integers(0, q, size=(B, N), dtype=np.uint64) for q in primes])
     lo, hi = split_u64(jnp.asarray(x))
+    if reshape4:
+        lo = jnp.asarray(np.asarray(lo).reshape(L, B, plan.n1, plan.n2))
+        hi = jnp.asarray(np.asarray(hi).reshape(L, B, plan.n1, plan.n2))
 
     t0 = time.time()
     a, b = fwd(lo, hi)
-    _ = jax.device_get(a[0, :1, :1])
+    _ = jax.device_get(a.ravel()[:1])
     sys.stderr.write(f"[bench] compile+first run: {time.time()-t0:.1f}s\n")
 
     # chained steady-state timing, fenced by a readback
@@ -74,13 +89,13 @@ def main():
     a, b = lo, hi
     for _ in range(ITERS):
         a, b = fwd(a, b)
-    _ = jax.device_get(a[0, :1, :1])
+    _ = jax.device_get(a.ravel()[:1])
     sec = (time.perf_counter() - t0) / ITERS
     ntts_per_sec = (L * B) / sec
     sys.stderr.write(f"[bench] forward: {sec*1e3:.2f} ms for {L*B} NTTs\n")
 
     # correctness fence: roundtrip must be exact
-    back = np.asarray(join_u64(*inv(*fwd(lo, hi))))
+    back = np.asarray(join_u64(*inv(*fwd(lo, hi)))).reshape(x.shape)
     assert (back == x).all(), "NTT roundtrip mismatch"
 
     extra = {}
@@ -98,11 +113,15 @@ def main():
             r = np.random.default_rng(7)
             re = r.uniform(-4, 4, size=(p.phi, p.n, p.n))
             im = r.uniform(-4, 4, size=(p.phi, p.n, p.n))
-            dr, di = ctx.roundtrip(jnp.asarray(re), jnp.asarray(im), sk)
+            # upload once: per-call host->device transfers through the
+            # tunnel cost ~0.5 s for these 33 MB arrays
+            rej = jax.device_put(jnp.asarray(re))
+            imj = jax.device_put(jnp.asarray(im))
+            dr, di = ctx.roundtrip(rej, imj, sk)
             _ = jax.device_get(dr[:1, :1, :1])
             t_first = time.time() - t0
             t0 = time.perf_counter()
-            dr, di = ctx.roundtrip(jnp.asarray(re), jnp.asarray(im), sk)
+            dr, di = ctx.roundtrip(rej, imj, sk)
             _ = jax.device_get(dr[:1, :1, :1])
             rt_ms = (time.perf_counter() - t0 - 0.03) * 1e3
             err = float(np.hypot(np.asarray(dr) - re,

@@ -58,7 +58,7 @@ class XNTT:
             import numpy as np
 
             from .modmatmul import limb_runs
-            from .pallas_ntt import PallasStage
+            from .pallas_ntt import make_stage
             self._runs = limb_runs(params.moduli)
             # n < 128 wastes half of every (8,128) vreg in the fold and half
             # the MXU contraction lanes; pack `pack` adjacent polynomials
@@ -69,19 +69,19 @@ class XNTT:
                 eye = np.eye(self._pack, dtype=np.uint64)
                 fwd = np.stack([np.kron(eye, fwd[l]) for l in range(len(fwd))])
                 inv = np.stack([np.kron(eye, inv[l]) for l in range(len(inv))])
-            self._fwd_p = [PallasStage(fwd[lo:hi], params.moduli[lo:hi],
-                                       side="right")
+            self._fwd_p = [make_stage(fwd[lo:hi], params.moduli[lo:hi],
+                                      side="right")
                            for lo, hi, _ in self._runs]
-            self._inv_p = [PallasStage(inv[lo:hi], params.moduli[lo:hi],
-                                       side="right")
+            self._inv_p = [make_stage(inv[lo:hi], params.moduli[lo:hi],
+                                      side="right")
                            for lo, hi, _ in self._runs]
             self._mul_s_p = None
             if n % self._pack == 0:
-                from .pallas_ntt import PallasNttMulNtt
+                from .pallas_ntt import make_ntt_mul_ntt
                 rep = n // self._pack
                 self._mul_s_p = [
-                    PallasNttMulNtt(fwd[lo:hi], inv[lo:hi],
-                                    params.moduli[lo:hi], rep=rep)
+                    make_ntt_mul_ntt(fwd[lo:hi], inv[lo:hi],
+                                     params.moduli[lo:hi], rep=rep)
                     for lo, hi, _ in self._runs]
 
     def _apply(self, trans, stages, x: jnp.ndarray) -> jnp.ndarray:

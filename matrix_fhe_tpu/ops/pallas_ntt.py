@@ -1151,6 +1151,13 @@ def _sliced_consts(moduli) -> np.ndarray:
     return sc.reshape(len(moduli), 1, 4)
 
 
+def _sliced_params():
+    """Mosaic params for the sliced kernels: the default 16 MB scoped-vmem
+    limit is far below the chip's physical VMEM and the W-CRT stage tables
+    alone exceed it; raising it was measured perf-neutral (round 1)."""
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+
 def _data_digits(lo, hi, chunks: int, axis: int):
     """Extract `chunks` 7-bit digit planes of the (hi, lo) value and
     concatenate (as int8) along the contraction axis."""
@@ -1346,6 +1353,224 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
         ohi_ref[0, j] = rh
 
 
+def _sliced_stage_kernel(dlo_ref, dhi_ref, tch_ref, sc_ref, olo_ref, ohi_ref,
+                         *, chunks_d: int, chunks_t: int, side: str, k: int,
+                         bits: int, in_bound: int):
+    """One sliced-fold modular-matmul stage (no twiddle): the W-CRT /
+    X-NTT single-stage replacement for _stage_kernel with ~3x fewer
+    weighted VPU ops per element."""
+    ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
+    qi28 = sc_ref[0, 0, 3]
+    lo = dlo_ref[0]
+    hi = dhi_ref[0]
+    ax = 0 if side == "left" else 1
+    dcat = _data_digits(lo, hi, chunks_d, ax)
+    diags = _sliced_dots(dcat, lambda c: tch_ref[0, c], chunks_t, side)
+    rh, rl = _fold_redc28(diags, qh, ql, qi28,
+                          diag_bound=chunks_d * k * 127 * 127, bits=bits)
+    olo_ref[0] = rl
+    ohi_ref[0] = rh
+
+
+class SlicedStage:
+    """Drop-in for PallasStage (sides 'right'/'left', no twiddle) with the
+    sliced-table fold.  Tables pre-reduced per data digit; one R=2^28 REDC
+    per output; bit-identical canonical outputs."""
+
+    def __init__(self, tables_u64: np.ndarray, moduli,
+                 row_tile: int = 256, side: str = "right",
+                 in_bits: int | None = None):
+        assert side in ("right", "left")
+        L, W, K = tables_u64.shape
+        self.side = side
+        self.L, self.w, self.k = L, W, K
+        self.row_tile = row_tile
+        self.bits = max(int(q).bit_length() for q in moduli)
+        assert self.bits < 48
+        in_bits = self.bits if in_bits is None else in_bits
+        self.chunks_d = -(-in_bits // CHUNK_BITS)
+        self.chunks_t = -(-self.bits // CHUNK_BITS)
+        self._tch = jnp.asarray(
+            _slice_tables(tables_u64, moduli, self.chunks_d))
+        self._sc = jnp.asarray(_sliced_consts(moduli))
+
+    @functools.lru_cache(maxsize=16)
+    def _call(self, rows: int, tile: int):
+        L, K, W = self.L, self.k, self.w
+        kern = functools.partial(
+            _sliced_stage_kernel, chunks_d=self.chunks_d,
+            chunks_t=self.chunks_t, side=self.side, k=K, bits=self.bits,
+            in_bound=0)
+        nt = rows // tile
+        tch_spec = pl.BlockSpec((1, self.chunks_t, W, self.chunks_d * K),
+                                lambda l, r: (l, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, r: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        if self.side == "right":
+            data_spec = pl.BlockSpec((1, tile, K), lambda l, r: (l, r, 0),
+                                     memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec((1, tile, W), lambda l, r: (l, r, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = (L, rows, W)
+        else:
+            data_spec = pl.BlockSpec((1, K, tile), lambda l, m: (l, 0, m),
+                                     memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec((1, W, tile), lambda l, m: (l, 0, m),
+                                    memory_space=pltpu.VMEM)
+            out_shape = (L, W, rows)
+        return pl.pallas_call(
+            kern,
+            grid=(L, nt),
+            in_specs=[data_spec, data_spec, tch_spec, sc_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+                       jax.ShapeDtypeStruct(out_shape, jnp.uint32)),
+            interpret=jax.default_backend() == "cpu",
+            compiler_params=_sliced_params(),
+        )
+
+    def __call__(self, d_lo, d_hi):
+        rows = d_lo.shape[1] if self.side == "right" else d_lo.shape[2]
+        tile = min(self.row_tile, rows)
+        while rows % tile:
+            tile //= 2
+        call = self._call(rows, tile)
+        with jax.enable_x64(False):
+            return call(d_lo, d_hi, self._tch, self._sc)
+
+
+def _sliced_mul_ntt_kernel(dlo_ref, dhi_ref, slo_ref, shi_ref, tf_ref,
+                           ti_ref, sc_ref, olo_ref, ohi_ref,
+                           *, chunks_d: int, chunks_t: int, chunks_mid: int,
+                           k: int, bits: int, rep: int):
+    """iNTT_X(NTT_X(a) * s) with the sliced fold: forward stage, lazy
+    Montgomery multiply by s (stored s * 2^32 mod q), 6..9-digit inverse
+    stage consuming the lazy value (same mechanics as the four-step
+    inter-stage twiddle)."""
+    ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
+    qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
+    lo = dlo_ref[0]
+    hi = dhi_ref[0]
+    dcat = _data_digits(lo, hi, chunks_d, 1)
+    diags = _sliced_dots(dcat, lambda c: tf_ref[0, c], chunks_t, "right")
+    vh, vl = _fold_redc28(diags, qh, ql, qi28,
+                          diag_bound=chunks_d * k * 127 * 127, bits=bits)
+    sl = slo_ref[0]
+    sh = shi_ref[0]
+    if rep > 1:
+        tw_rows, kk = sl.shape
+        sl = jnp.broadcast_to(sl[:, None, :], (tw_rows, rep, kk)
+                              ).reshape(tw_rows * rep, kk)
+        sh = jnp.broadcast_to(sh[:, None, :], (tw_rows, rep, kk)
+                              ).reshape(tw_rows * rep, kk)
+    uh, ul = _tw_mul_lazy(vh, vl, sl, sh, qh, ql, qi32)
+    ucat = _data_digits(ul, uh, chunks_mid, 1)
+    diags2 = _sliced_dots(ucat, lambda c: ti_ref[0, c], chunks_t, "right")
+    rh, rl = _fold_redc28(diags2, qh, ql, qi28,
+                          diag_bound=chunks_mid * k * 127 * 127, bits=bits)
+    olo_ref[0] = rl
+    ohi_ref[0] = rh
+
+
+class SlicedNttMulNtt:
+    """Drop-in for PallasNttMulNtt: fused t = iNTT_X(NTT_X(a) * s) over
+    [L, R, K] rows with s [L, W, K], R = W * rep, sliced-table fold."""
+
+    def __init__(self, fwd_tables: np.ndarray, inv_tables: np.ndarray,
+                 moduli, rep: int, row_tile: int = 256):
+        L, W, K = fwd_tables.shape
+        assert W == K and inv_tables.shape == fwd_tables.shape
+        self.L, self.k = L, K
+        self.rep = rep
+        self.row_tile = max(rep, row_tile // rep * rep)
+        self.bits = max(int(q).bit_length() for q in moduli)
+        assert self.bits < 48
+        self.chunks_d = -(-self.bits // CHUNK_BITS)
+        self.chunks_t = self.chunks_d
+        lazy_bits = self.bits + max(2, self.bits - 31)
+        self.chunks_mid = -(-lazy_bits // CHUNK_BITS)
+        self._tf = jnp.asarray(_slice_tables(fwd_tables, moduli,
+                                             self.chunks_d))
+        # s arrives in SecretKey storage form s_mont = s * 2^64 mod q; the
+        # lazy multiply then yields v * s * 2^32, and the extra 2^32 is
+        # cancelled here by folding 2^-32 into the inverse-stage tables
+        self._ti = jnp.asarray(_slice_tables(inv_tables, moduli,
+                                             self.chunks_mid,
+                                             extra_pow2=-32))
+        self._sc = jnp.asarray(_sliced_consts(moduli))
+        self.moduli = tuple(int(q) for q in moduli)
+
+    @functools.lru_cache(maxsize=8)
+    def _call(self, rows: int, tile: int):
+        L, K = self.L, self.k
+        kern = functools.partial(
+            _sliced_mul_ntt_kernel, chunks_d=self.chunks_d,
+            chunks_t=self.chunks_t, chunks_mid=self.chunks_mid,
+            k=K, bits=self.bits, rep=self.rep)
+        nt = rows // tile
+        tw = tile // self.rep
+        data_spec = pl.BlockSpec((1, tile, K), lambda l, r: (l, r, 0),
+                                 memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, tw, K), lambda l, r: (l, r, 0),
+                              memory_space=pltpu.VMEM)
+        tf_spec = pl.BlockSpec((1, self.chunks_t, K, self.chunks_d * K),
+                               lambda l, r: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        ti_spec = pl.BlockSpec((1, self.chunks_t, K, self.chunks_mid * K),
+                               lambda l, r: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, r: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(L, nt),
+            in_specs=[data_spec, data_spec, s_spec, s_spec,
+                      tf_spec, ti_spec, sc_spec],
+            out_specs=(data_spec, data_spec),
+            out_shape=(jax.ShapeDtypeStruct((L, rows, K), jnp.uint32),
+                       jax.ShapeDtypeStruct((L, rows, K), jnp.uint32)),
+            interpret=jax.default_backend() == "cpu",
+            compiler_params=_sliced_params(),
+        )
+
+    def __call__(self, d_lo, d_hi, s_lo, s_hi):
+        """s as the u32 pair of s_mont (s * 2^64 mod q, SecretKey storage
+        form) — drop-in for PallasNttMulNtt."""
+        rows = d_lo.shape[1]
+        tile = min(self.row_tile, rows)
+        while rows % tile or tile % self.rep:
+            tile -= self.rep
+        call = self._call(rows, tile)
+        with jax.enable_x64(False):
+            return call(d_lo, d_hi, s_lo, s_hi, self._tf, self._ti, self._sc)
+
+
+def make_stage(tables_u64, moduli, row_tile: int = 256, side: str = "right"):
+    """PallasStage/SlicedStage factory (MFHE_STAGE_IMPL=karatsuba for the
+    round-1 kernels; sliced is the default)."""
+    import os
+
+    if os.environ.get("MFHE_STAGE_IMPL", "sliced") == "sliced":
+        return SlicedStage(np.asarray(tables_u64), moduli,
+                           row_tile=row_tile, side=side)
+    return PallasStage(np.asarray(tables_u64), moduli,
+                       row_tile=row_tile, side=side)
+
+
+def make_ntt_mul_ntt(fwd_tables, inv_tables, moduli, rep: int,
+                     row_tile: int = 256):
+    """PallasNttMulNtt/SlicedNttMulNtt factory (same knob as make_stage)."""
+    import os
+
+    if os.environ.get("MFHE_STAGE_IMPL", "sliced") == "sliced":
+        return SlicedNttMulNtt(np.asarray(fwd_tables),
+                               np.asarray(inv_tables), moduli, rep,
+                               row_tile=row_tile)
+    return PallasNttMulNtt(np.asarray(fwd_tables), np.asarray(inv_tables),
+                           moduli, rep, row_tile=row_tile)
+
+
 class SlicedFourStepNTT:
     """Fused two-stage negacyclic NTT with the sliced-table fold.  Same API
     and bit-identical output order/values as PallasFourStepNTT; ~3x fewer
@@ -1426,24 +1651,14 @@ class SlicedFourStepNTT:
             out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
                        jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
             interpret=jax.default_backend() == "cpu",
+            compiler_params=_sliced_params(),
         )
 
     def _run(self, lo, hi, direction):
         p = self.plan
         L, B = lo.shape[0], lo.shape[1]
-        lo4 = lo.reshape(L, B, p.n1, p.n2)
-        hi4 = hi.reshape(L, B, p.n1, p.n2)
-        if direction == "fwd":
-            tA, tB = self._t1f, self._t2f
-            twl, twh = self._twf
-        else:
-            tA, tB = self._t2i, self._t1i
-            twl, twh = self._twi
-        call = self._fused_call(B, direction)
-        twl4 = twl.reshape(L, 1, p.n1, p.n2)
-        twh4 = twh.reshape(L, 1, p.n1, p.n2)
-        with jax.enable_x64(False):
-            olo, ohi = call(lo4, hi4, tA, tB, twl4, twh4, self._sc)
+        olo, ohi = self._run4(lo.reshape(L, B, p.n1, p.n2),
+                              hi.reshape(L, B, p.n1, p.n2), direction)
         return olo.reshape(L, B, p.n), ohi.reshape(L, B, p.n)
 
     def forward_pair(self, lo, hi):
@@ -1451,6 +1666,30 @@ class SlicedFourStepNTT:
 
     def inverse_pair(self, lo, hi):
         return self._run(lo, hi, "inv")
+
+    def _run4(self, lo4, hi4, direction):
+        """[L, B, n1, n2] pair in, same shape out — no reshapes.  XLA
+        materializes real copies for the [L,B,N]<->[L,B,n1,n2] reshapes
+        around the Mosaic custom call (~3.4 us/NTT measured!), so
+        throughput callers should stay in the 4-D tile layout end to end."""
+        if direction == "fwd":
+            tA, tB = self._t1f, self._t2f
+            twl, twh = self._twf
+        else:
+            tA, tB = self._t2i, self._t1i
+            twl, twh = self._twi
+        p = self.plan
+        call = self._fused_call(lo4.shape[1], direction)
+        twl4 = twl.reshape(self.L, 1, p.n1, p.n2)
+        twh4 = twh.reshape(self.L, 1, p.n1, p.n2)
+        with jax.enable_x64(False):
+            return call(lo4, hi4, tA, tB, twl4, twh4, self._sc)
+
+    def forward_pair4(self, lo4, hi4):
+        return self._run4(lo4, hi4, "fwd")
+
+    def inverse_pair4(self, lo4, hi4):
+        return self._run4(lo4, hi4, "inv")
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         return join_u64(*self.forward_pair(*split_u64(x)))

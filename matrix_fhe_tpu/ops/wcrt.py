@@ -59,13 +59,13 @@ class WTransform:
                             if use_pallas is None else use_pallas)
         self._fwd_p = self._inv_p = None
         if self._use_pallas:
-            from .pallas_ntt import PallasStage
+            from .pallas_ntt import make_stage
             self._runs = limb_runs(params.moduli)
-            self._fwd_p = [PallasStage(t.w_fwd[lo:hi], params.moduli[lo:hi],
-                                       side="left")
+            self._fwd_p = [make_stage(t.w_fwd[lo:hi], params.moduli[lo:hi],
+                                      side="left")
                            for lo, hi, _ in self._runs]
-            self._inv_p = [PallasStage(t.w_inv[lo:hi], params.moduli[lo:hi],
-                                       side="left")
+            self._inv_p = [make_stage(t.w_inv[lo:hi], params.moduli[lo:hi],
+                                      side="left")
                            for lo, hi, _ in self._runs]
 
         self._composer = CRTComposer(t)
@@ -161,8 +161,8 @@ class WTransform:
             scaled[l] = (t.w_inv[l].astype(object) * int(t.crt_inv[l]) % q
                          ).astype(np.uint64)
         if self._use_pallas:
-            from .pallas_ntt import PallasStage
-            return [PallasStage(scaled[lo:hi], p.moduli[lo:hi], side="left")
+            from .pallas_ntt import make_stage
+            return [make_stage(scaled[lo:hi], p.moduli[lo:hi], side="left")
                     for lo, hi, _ in self._runs]
         return BatchedModTransform(scaled, p.moduli, side="left")
 

@@ -49,12 +49,12 @@ class DistFourStepNTT:
                             if use_pallas is None else use_pallas)
         if self._use_pallas:
             from ..ops.modmatmul import limb_runs
-            from ..ops.pallas_ntt import PallasStage
+            from ..ops.pallas_ntt import make_stage
             loc = self.local
             self._pruns = limb_runs(plan.moduli)
             self._pstages = {
-                name: [PallasStage(np.asarray(tbl[lo:hi]),
-                                   plan.moduli[lo:hi], side="right")
+                name: [make_stage(np.asarray(tbl[lo:hi]),
+                                  plan.moduli[lo:hi], side="right")
                        for lo, hi, _ in self._pruns]
                 for name, tbl in (("t1f", loc._t1f), ("t1i", loc._t1i),
                                   ("t2f", loc._t2f), ("t2i", loc._t2i))}
