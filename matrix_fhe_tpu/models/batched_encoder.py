@@ -54,7 +54,11 @@ class BatchedEncoder:
         mod-2^64 fold (ops/ddfloat.compose_scaled_to_float) instead of the
         7-limb big-int chain — bit-different in f64 ulps only."""
         delta = self.params.delta if delta_override is None else delta_override
-        if self.encoder.fast_float:
+        # the fast mod-2^64 compose (ops/ddfloat.py) recovers x from its
+        # value mod 2^64 and so requires |x| < 2^63; Delta^2-scaled
+        # homomorphic products (delta_override) exceed that at ref scale ->
+        # route them through the exact big-int compose
+        if self.encoder.fast_float and delta_override is None:
             from ..ops.ddfloat import compose_scaled_to_float
             p = self.params
             big_q = 1
