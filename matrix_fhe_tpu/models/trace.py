@@ -57,16 +57,30 @@ def trace_gemm(a_re, a_im, bp_re, bp_im, params: GLParams
     """
     moduli = params.moduli
     n = params.n
+    use_sliced = _use_sliced_cgemm()
     outs_r, outs_i = [], []
     for lo, hi, c in limb_runs(moduli):
         run_mod = tuple(int(q) for q in moduli[lo:hi])
         sl = slice(lo, hi)
-        rr = _cgemm_run(a_re[sl], a_im[sl], bp_re[sl], bp_im[sl],
-                        run_mod, c, a_re.ndim)
-        outs_r.append(rr[0])
-        outs_i.append(rr[1])
+        if use_sliced:
+            # fused Mosaic kernel: MXU digit dots + sliced fold, the *n
+            # scale folded into the per-digit constants
+            kern = _sliced_cgemm(run_mod, n, scale=n)
+            shp = a_re[sl].shape
+            flat = (shp[0], -1, n, n)
+            cr, ci = kern(a_re[sl].reshape(flat), a_im[sl].reshape(flat),
+                          bp_re[sl].reshape(flat), bp_im[sl].reshape(flat))
+            outs_r.append(cr.reshape(shp))
+            outs_i.append(ci.reshape(shp))
+        else:
+            rr = _cgemm_run(a_re[sl], a_im[sl], bp_re[sl], bp_im[sl],
+                            run_mod, c, a_re.ndim)
+            outs_r.append(rr[0])
+            outs_i.append(rr[1])
     c_re = jnp.concatenate(outs_r) if len(outs_r) > 1 else outs_r[0]
     c_im = jnp.concatenate(outs_i) if len(outs_i) > 1 else outs_i[0]
+    if use_sliced:
+        return c_re, c_im
     # scale by n (mod q), matching trace.cu:116-118
     consts = mm.mont_consts_arrays(moduli, shape_suffix=(1,) * (a_re.ndim - 1))
     n_mont = _scalar_mont(moduli, n, a_re.ndim)
@@ -103,6 +117,25 @@ def trace_matmul(a_re, a_im, b_re, b_im, params: GLParams, rescale=True):
 
 
 # ---------------------------------------------------------------------------
+
+
+def _use_sliced_cgemm() -> bool:
+    import os
+
+    env = os.environ.get("MFHE_CGEMM", "")
+    if env in ("sliced", "xla"):
+        return env == "sliced"
+    import jax as _jax
+    return _jax.default_backend() == "tpu"
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _sliced_cgemm(run_mod, n: int, scale: int):
+    from ..ops.pallas_cgemm import SlicedCGemm
+    return SlicedCGemm(run_mod, n, scale=scale)
 
 
 def _q_bcast(params: GLParams, ndim: int) -> jnp.ndarray:

@@ -1,0 +1,179 @@
+"""Fused batched complex modular GEMM for the homomorphic trace op.
+
+The trace-GEMM (C = n * A @ B'^T per packed lane, trace.cu:77-131 /
+batched_trace.cu:99-158) is a batch of 512 x L tiny [n x n x n] complex
+modular matmuls.  The XLA-composed chunked path materializes every digit
+product in HBM and runs at well under 1% of the int8 MXU roof; this kernel
+fuses one (limb, lane-block) tile end to end:
+
+    load A, B (u32 lo/hi pairs, complex as separate re/im planes)
+      -> B pre-reduced per data-digit j: B_j = B * (n * 2^(28+7j)) * 2^-32
+         (one Montgomery multiply per element per j; amortized over the
+         whole contraction)
+      -> A digit planes concat along the contraction axis
+      -> chunks_t int8 MXU dots per real GEMM (4 per complex GEMM)
+      -> R = 2^28 sliced fold (same machinery as the NTT kernels)
+    store C (complex pair)
+
+The trace's *n scale is folded into the B_j constants, so the kernel
+computes exactly n * A @ B^T mod q, canonically, bit-identical to
+trace_gemm's XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .modmath import MontConsts
+from .pallas_ntt import (CHUNK_BITS, _data_digits, _fold_redc28,
+                         _montmul48, _sliced_params, U32,
+                         split_u64, join_u64)
+
+
+def _cgemm_kernel(arl_ref, arh_ref, ail_ref, aih_ref,
+                  brl_ref, brh_ref, bil_ref, bih_ref,
+                  sc_ref, cj_ref,
+                  crl_ref, crh_ref, cil_ref, cih_ref,
+                  *, wb: int, n: int, chunks_d: int, chunks_t: int,
+                  bits: int):
+    ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
+    qil, qih = sc_ref[0, 0, 2], sc_ref[0, 0, 4]
+    qi28 = sc_ref[0, 0, 3]
+    for w in range(wb):
+        # A digit planes, concat along the contraction axis (axis 1)
+        acat_r = _data_digits(arl_ref[0, w], arh_ref[0, w], chunks_d, 1)
+        acat_i = _data_digits(ail_ref[0, w], aih_ref[0, w], chunks_d, 1)
+
+        # B pre-reduction: T_c planes = digit c of B * (n * 2^(28+7j)),
+        # concat over j along the contraction axis
+        def bcat(bl, bh):
+            planes = [None] * chunks_t
+            for j in range(chunks_d):
+                cl = cj_ref[0, 0, 2 * j]
+                ch = cj_ref[0, 0, 2 * j + 1]
+                tjh, tjl = _montmul48(bh, bl, ch, cl, qh, ql, qih, qil)
+                for c in range(chunks_t):
+                    s = CHUNK_BITS * c
+                    if s + CHUNK_BITS <= 32:
+                        d = ((tjl >> np.uint32(s)) & np.uint32(127)
+                             ) if s else (tjl & np.uint32(127))
+                    elif s >= 32:
+                        d = (tjh >> np.uint32(s - 32)) & np.uint32(127)
+                    else:
+                        d = ((tjl >> np.uint32(s))
+                             | (tjh << np.uint32(32 - s))) & np.uint32(127)
+                    d8 = d.astype(jnp.int8)
+                    planes[c] = d8 if planes[c] is None else \
+                        jnp.concatenate([planes[c], d8], axis=1)
+            return planes
+
+        tbr = bcat(brl_ref[0, w], brh_ref[0, w])
+        tbi = bcat(bil_ref[0, w], bih_ref[0, w])
+
+        def gemm(acat, tb):
+            diags = [jax.lax.dot_general(acat, tb[c], (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                     for c in range(chunks_t)]
+            return _fold_redc28(diags, qh, ql, qi28,
+                                diag_bound=chunks_d * n * 127 * 127,
+                                bits=bits)
+
+        rr_h, rr_l = gemm(acat_r, tbr)     # Ar @ Br
+        ii_h, ii_l = gemm(acat_i, tbi)     # Ai @ Bi
+        ri_h, ri_l = gemm(acat_r, tbi)     # Ar @ Bi
+        ir_h, ir_l = gemm(acat_i, tbr)     # Ai @ Br
+        # C_re = rr - ii, C_im = ri + ir  (canonical mod-q add/sub on pairs)
+        bl = rr_l - ii_l
+        bb = (rr_l < ii_l).astype(U32)
+        bh = rr_h - ii_h - bb
+        neg = (rr_h < ii_h) | ((rr_h == ii_h) & (rr_l < ii_l))
+        al = bl + ql
+        ac = (al < bl).astype(U32)
+        crl_ref[0, w] = jnp.where(neg, al, bl)
+        crh_ref[0, w] = jnp.where(neg, bh + qh + ac, bh)
+        sl = ri_l + ir_l
+        sc_ = (sl < ir_l).astype(U32)
+        sh = ri_h + ir_h + sc_
+        ge = (sh > qh) | ((sh == qh) & (sl >= ql))
+        borrow = (sl < ql).astype(U32)
+        cil_ref[0, w] = jnp.where(ge, sl - ql, sl)
+        cih_ref[0, w] = jnp.where(ge, sh - qh - borrow, sh)
+
+
+class SlicedCGemm:
+    """C = scale * A @ B^T (complex, modular, contraction over the last
+    axis of both) for [L, W, n, n] re/im u64 operands, one limb run."""
+
+    def __init__(self, moduli, n: int, scale: int = 1, wb: int = 8):
+        self.moduli = tuple(int(q) for q in moduli)
+        self.n = n
+        self.bits = max(q.bit_length() for q in self.moduli)
+        assert self.bits < 48
+        self.chunks_d = -(-self.bits // CHUNK_BITS)
+        self.chunks_t = self.chunks_d
+        self.wb = wb
+        L = len(self.moduli)
+        cj = np.zeros((L, 1, 2 * self.chunks_d), dtype=np.uint32)
+        for l, q in enumerate(self.moduli):
+            for j in range(self.chunks_d):
+                # montmul48(B, cj) = B*cj*2^-64 must equal B*scale*2^(28+7j)
+                c = (scale % q) * pow(2, 28 + CHUNK_BITS * j + 64, q) % q
+                cj[l, 0, 2 * j] = c & 0xFFFFFFFF
+                cj[l, 0, 2 * j + 1] = c >> 32
+        self._cj = jnp.asarray(cj)
+        sc = np.empty((L, 1, 5), dtype=np.uint32)
+        for l, q in enumerate(self.moduli):
+            mc = MontConsts.make(q)
+            sc[l] = (q & 0xFFFFFFFF, q >> 32,
+                     mc.qinv_neg & 0xFFFFFFFF, mc.qinv_neg & 0x0FFFFFFF,
+                     mc.qinv_neg >> 32)
+        self._sc = jnp.asarray(sc)
+
+    @functools.lru_cache(maxsize=4)
+    def _call(self, W: int, wb: int):
+        L, n = len(self.moduli), self.n
+        kern = functools.partial(
+            _cgemm_kernel, wb=wb, n=n, chunks_d=self.chunks_d,
+            chunks_t=self.chunks_t, bits=self.bits)
+        spec = pl.BlockSpec((1, wb, n, n), lambda l, w: (l, w, 0, 0),
+                            memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 5), lambda l, w: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        cj_spec = pl.BlockSpec((1, 1, 2 * self.chunks_d),
+                               lambda l, w: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        sh = jax.ShapeDtypeStruct((L, W, n, n), jnp.uint32)
+        return pl.pallas_call(
+            kern,
+            grid=(L, W // wb),
+            in_specs=[spec] * 8 + [sc_spec, cj_spec],
+            out_specs=(spec,) * 4,
+            out_shape=(sh,) * 4,
+            interpret=jax.default_backend() == "cpu",
+            compiler_params=_sliced_params(2),
+        )
+
+    def __call__(self, a_re, a_im, b_re, b_im
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """u64 [L, W, n, n] complex operands -> (c_re, c_im) u64."""
+        W = a_re.shape[1]
+        wb = self.wb
+        while W % wb:
+            wb //= 2
+        arl, arh = split_u64(a_re)
+        ail, aih = split_u64(a_im)
+        brl, brh = split_u64(b_re)
+        bil, bih = split_u64(b_im)
+        call = self._call(W, wb)
+        with jax.enable_x64(False):
+            crl, crh, cil, cih = call(arl, arh, ail, aih,
+                                      brl, brh, bil, bih,
+                                      self._sc, self._cj)
+        return join_u64(crl, crh), join_u64(cil, cih)

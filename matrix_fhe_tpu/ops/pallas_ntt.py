@@ -1151,11 +1151,18 @@ def _sliced_consts(moduli) -> np.ndarray:
     return sc.reshape(len(moduli), 1, 4)
 
 
-def _sliced_params():
+def _sliced_params(n_grid_axes: int = 0):
     """Mosaic params for the sliced kernels: the default 16 MB scoped-vmem
     limit is far below the chip's physical VMEM and the W-CRT stage tables
-    alone exceed it; raising it was measured perf-neutral (round 1)."""
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+    alone exceed it; raising it was measured perf-neutral (round 1).
+    MFHE_SLICED_SEMANTICS=parallel marks grid axes parallel (experiment)."""
+    import os
+
+    sem = None
+    if n_grid_axes and os.environ.get("MFHE_SLICED_SEMANTICS") == "parallel":
+        sem = ("parallel",) * n_grid_axes
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20,
+                                dimension_semantics=sem)
 
 
 def _data_digits(lo, hi, chunks: int, axis: int):
@@ -1427,7 +1434,7 @@ class SlicedStage:
             out_shape=(jax.ShapeDtypeStruct(out_shape, jnp.uint32),
                        jax.ShapeDtypeStruct(out_shape, jnp.uint32)),
             interpret=jax.default_backend() == "cpu",
-            compiler_params=_sliced_params(),
+            compiler_params=_sliced_params(2),
         )
 
     def __call__(self, d_lo, d_hi):
@@ -1531,7 +1538,7 @@ class SlicedNttMulNtt:
             out_shape=(jax.ShapeDtypeStruct((L, rows, K), jnp.uint32),
                        jax.ShapeDtypeStruct((L, rows, K), jnp.uint32)),
             interpret=jax.default_backend() == "cpu",
-            compiler_params=_sliced_params(),
+            compiler_params=_sliced_params(2),
         )
 
     def __call__(self, d_lo, d_hi, s_lo, s_hi):
@@ -1642,6 +1649,8 @@ class SlicedFourStepNTT:
                                memory_space=pltpu.VMEM)
         sc_spec = pl.BlockSpec((1, 1, 4), lambda l, b: (l, 0, 0),
                                memory_space=pltpu.SMEM)
+        alias = ({0: 0, 1: 1}
+                 if os.environ.get("MFHE_SLICED_ALIAS") == "1" else {})
         return pl.pallas_call(
             kern,
             grid=(L, B // bb),
@@ -1651,7 +1660,8 @@ class SlicedFourStepNTT:
             out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
                        jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
             interpret=jax.default_backend() == "cpu",
-            compiler_params=_sliced_params(),
+            compiler_params=_sliced_params(2),
+            input_output_aliases=alias,
         )
 
     def _run(self, lo, hi, direction):
