@@ -1311,11 +1311,45 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
                        sides: Tuple[str, str], k: int, bits: int, bb: int):
     """Both four-step stages + the inter-stage twiddle on one [n1, n2] tile
     (`bb` of them per grid cell), sliced-table fold design (see module
-    comment above)."""
+    comment above).
+
+    MFHE_SLICED_ILV=1 (with bb >= 2) software-pipelines the unrolled tiles:
+    tile j's stage-A MXU dots are issued before tile j-1's VPU tail, giving
+    Mosaic's scheduler independent MXU and VPU work to co-issue."""
     import os as _os
     _abl = _os.environ.get("MFHE_SLICED_ABLATE", "")
+    _ilv = _os.environ.get("MFHE_SLICED_ILV", "") == "1" and bb > 1
     ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
     qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
+    if _ilv:
+        axA = 0 if sides[0] == "left" else 1
+        axB = 0 if sides[1] == "left" else 1
+
+        def _tail(j, diags):
+            vh, vl = _fold_redc28(
+                diags, qh, ql, qi28,
+                diag_bound=chunks_d * k * 127 * 127, bits=bits)
+            uh, ul = _tw_mul_lazy(vh, vl, twl_ref[0, 0], twh_ref[0, 0],
+                                  qh, ql, qi32)
+            ucat = _data_digits(ul, uh, chunks_mid, axB)
+            diags2 = _sliced_dots(ucat, lambda c: tB_ref[0, c], chunks_t,
+                                  sides[1])
+            rh, rl = _fold_redc28(
+                diags2, qh, ql, qi28,
+                diag_bound=chunks_mid * k * 127 * 127, bits=bits)
+            olo_ref[0, j] = rl
+            ohi_ref[0, j] = rh
+
+        prev = None
+        for j in range(bb):
+            dcat = _data_digits(dlo_ref[0, j], dhi_ref[0, j], chunks_d, axA)
+            diags = _sliced_dots(dcat, lambda c: tA_ref[0, c], chunks_t,
+                                 sides[0])
+            if prev is not None:
+                _tail(*prev)
+            prev = (j, diags)
+        _tail(*prev)
+        return
     for j in range(bb):
         lo = dlo_ref[0, j]
         hi = dhi_ref[0, j]

@@ -40,13 +40,20 @@ def factor_mesh(n_devices: int, want_dp: int = 2) -> Dict[str, int]:
 
 
 def msg_sharding(mesh: Mesh) -> NamedSharding:
-    """Message batch [B, W, n, n]: batch over dp, lanes over tp."""
-    return NamedSharding(mesh, P("dp", "tp", None, None))
+    """Message batch [B, W, n, n]: batch over dp, matrix rows (y) over tp.
+
+    Round-2 audit (docs/PERF.md): tp over the W lane axis fights every
+    W-CRT contraction (6 all-reduces of full eval arrays per roundtrip);
+    tp over the y matrix axis keeps the same collective count but moves it
+    to the small complex transforms — measured 2x cheaper on the virtual
+    mesh.  dp remains the zero-communication axis of choice."""
+    return NamedSharding(mesh, P("dp", None, "tp", None))
 
 
 def packed_sharding(mesh: Mesh) -> NamedSharding:
-    """Packed plaintext / ciphertext component batch [B, L, W, n, n]."""
-    return NamedSharding(mesh, P("dp", None, "tp", None, None))
+    """Packed plaintext / ciphertext component batch [B, L, W, n, n]
+    (same tp-axis choice as msg_sharding)."""
+    return NamedSharding(mesh, P("dp", None, None, "tp", None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -167,3 +167,15 @@ def test_pair_native_roundtrip_matches_u64_path():
     dr2, di2 = ctx.batched_encoder.decode_from_wntt_eval(ev_re, ev_im)
     assert np.abs(np.asarray(dr) - np.asarray(dr2)).max() < 1e-9
     assert np.abs(np.asarray(di) - np.asarray(di2)).max() < 1e-9
+
+
+def test_debug_hooks():
+    """Moduli-readback + sanity counters (HE.cu:410-422,1204-1222 parity)."""
+    from matrix_fhe_tpu.utils import debug
+
+    ctx = HEContext(get_params("tiny"))
+    assert debug.check_moduli(ctx)
+    x = jnp.asarray(np.array([0, 1, 2, 0, 5], dtype=np.uint64))
+    assert debug.count_nonzero(x) == 3
+    hi = jnp.asarray(np.array([[0, 0], [1, 0], [0, 0]], dtype=np.uint64))
+    assert debug.count_over_i64(hi) == 1
