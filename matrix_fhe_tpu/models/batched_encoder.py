@@ -99,12 +99,13 @@ class BatchedEncoder:
         for q in p.moduli:
             big_q *= int(q)
         (rl, rh), (il, ih) = re_pair, im_pair
-        # per-component calls: stacking re/im into one [L, W, 2, n, n] array
-        # costs two full HBM copy passes (~2 ms at ref scale) for no win -
-        # the W-CRT inverse flattens the trailing axes either way
-        srl, srh = self.wt.inverse_scaled_pair(rl, rh)
-        sil, sih = self.wt.inverse_scaled_pair(il, ih)
-        fr = compose_scaled_pair_to_float(srl, srh, p.moduli, big_q, p.delta)
-        fi = compose_scaled_pair_to_float(sil, sih, p.moduli, big_q, p.delta)
+        # NOTE (r2): splitting this into per-component calls to avoid the
+        # stack copies was measured 14 ms WORSE at ref scale - the stacked
+        # single pass wins despite the copies
+        bl = jnp.stack([rl, il], axis=2)                 # [L, W, 2, n, n]
+        bh = jnp.stack([rh, ih], axis=2)
+        sl, sh = self.wt.inverse_scaled_pair(bl, bh)
+        f2 = compose_scaled_pair_to_float(sl, sh, p.moduli, big_q, p.delta)
+        fr, fi = f2[:, 0], f2[:, 1]
         er, ei = self.wt.dft_forward_pair(fr, fi)
         return self.encoder.dft2(er, ei)
