@@ -101,11 +101,12 @@ class BatchedEncoder:
         (rl, rh), (il, ih) = re_pair, im_pair
         # NOTE (r2): splitting this into per-component calls to avoid the
         # stack copies was measured 14 ms WORSE at ref scale - the stacked
-        # single pass wins despite the copies
+        # single pass wins despite the copies.  The W-CRT inverse and the
+        # CRT compose run as ONE fused kernel (SlicedInvCompose): the
+        # scaled residues never touch HBM.
         bl = jnp.stack([rl, il], axis=2)                 # [L, W, 2, n, n]
         bh = jnp.stack([rh, ih], axis=2)
-        sl, sh = self.wt.inverse_scaled_pair(bl, bh)
-        f2 = compose_scaled_pair_to_float(sl, sh, p.moduli, big_q, p.delta)
+        f2 = self.wt.inverse_scaled_compose_pair(bl, bh, p.delta)
         fr, fi = f2[:, 0], f2[:, 1]
         er, ei = self.wt.dft_forward_pair(fr, fi)
         return self.encoder.dft2(er, ei)

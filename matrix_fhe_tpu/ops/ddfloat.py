@@ -155,6 +155,23 @@ def _add64_xla(al, ah, bl, bh):
     return lo, hi
 
 
+def compose_tail_from_partials(acc_l, acc_h, ksum, big_q: int,
+                               delta: float) -> jnp.ndarray:
+    """Finish the scaled compose from fused-kernel partials: acc64 =
+    sum_l r'_l*M_l mod 2^64 (u32 planes), ksum = sum_l r'_l/q_l (f32;
+    the true sum is within ~2^-300 of the integer k, so f32's ~1e-5
+    error is 4+ orders inside the rounding margin)."""
+    k = jnp.round(ksum.astype(F64)).astype(jnp.uint32)
+    q64 = big_q % (1 << 64)
+    kl, kh = _mullo64_xla(k, jnp.zeros_like(k), q64 & 0xFFFFFFFF, q64 >> 32)
+    borrow = (acc_l < kl).astype(jnp.uint32)
+    yl = acc_l - kl
+    yh = acc_h - kh - borrow
+    v = yl.astype(F64) + jax.lax.bitcast_convert_type(
+        yh, jnp.int32).astype(F64) * np.float64(2.0 ** 32)
+    return v / np.float64(delta)
+
+
 def compose_scaled_to_float(r_scaled: jnp.ndarray, moduli, big_q: int,
                             delta: float) -> jnp.ndarray:
     """Exact centered CRT compose / delta for PRE-SCALED residues

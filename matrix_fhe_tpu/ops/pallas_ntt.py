@@ -1481,6 +1481,126 @@ class SlicedStage:
             return call(d_lo, d_hi, self._tch, self._sc)
 
 
+def _inv_compose_kernel(dlo_ref, dhi_ref, tch_ref, sc_ref, cc_ref, qf_ref,
+                        acc_lo_ref, acc_hi_ref, kacc_ref,
+                        *, chunks_d: int, chunks_t: int, k: int, bits: int,
+                        n_limbs: int):
+    """Scaled W-CRT inverse stage FUSED with the CRT compose partials.
+
+    Grid (m-tiles, limbs), limb fastest: each limb's fold result
+    r'_l = x * M_l^{-1} mod q_l is immediately folded into the two compose
+    accumulators instead of being written to HBM:
+      acc64  += r'_l * (M_l mod 2^64)      (exact, mod 2^64)
+      kacc   += float(r'_l) / q_l           (f32; the true sum is within
+                                             ~2^-300 of an integer, so f32's
+                                             ~1e-5 error never moves k)
+    cc: per-limb SMEM constants (M64_lo, M64_hi, 1/q as f32 bits).
+    Host side combines runs and applies y = acc - round(ksum)*Q mod 2^64,
+    centered /delta (ops/ddfloat._compose_tail)."""
+    l = pl.program_id(1)
+    ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
+    qi28 = sc_ref[0, 0, 3]
+    dcat = _data_digits(dlo_ref[0], dhi_ref[0], chunks_d, 0)
+    diags = _sliced_dots(dcat, lambda c: tch_ref[0, c], chunks_t, "left")
+    rh, rl = _fold_redc28(diags, qh, ql, qi28,
+                          diag_bound=chunks_d * k * 127 * 127, bits=bits)
+    m64l, m64h = cc_ref[0, 0, 0], cc_ref[0, 0, 1]
+    ph, pl_ = _mullo64(rh, rl, m64h, m64l)
+    qinv_f = qf_ref[0, 0, 0]
+    # Mosaic has no u32->f32 cast; go via i32 (rl may exceed 2^31: split a
+    # bit off; rh < 2^16 for q < 2^48)
+    rl_f = ((rl >> np.uint32(1)).astype(jnp.int32).astype(jnp.float32)
+            * np.float32(2.0)
+            + (rl & np.uint32(1)).astype(jnp.int32).astype(jnp.float32))
+    kterm = (rl_f * qinv_f
+             + rh.astype(jnp.int32).astype(jnp.float32)
+             * (qinv_f * np.float32(2.0 ** 32)))
+
+    @pl.when(l == 0)
+    def _init():
+        acc_lo_ref[...] = pl_
+        acc_hi_ref[...] = ph
+        kacc_ref[...] = kterm
+
+    @pl.when(l > 0)
+    def _acc():
+        a = acc_lo_ref[...] + pl_
+        c = (a < pl_).astype(U32)
+        acc_lo_ref[...] = a
+        acc_hi_ref[...] = acc_hi_ref[...] + ph + c
+        kacc_ref[...] = kacc_ref[...] + kterm
+
+
+class SlicedInvCompose:
+    """One limb-run of the scaled W-CRT inverse with the CRT compose fused
+    in: eval residues [L, W, M] (u32 pairs) -> compose partials
+    (acc_lo, acc_hi u32 [Wout, M], kacc f32 [Wout, M])."""
+
+    def __init__(self, tables_u64: np.ndarray, moduli, big_q: int,
+                 row_tile: int = 256):
+        L, W, K = tables_u64.shape
+        self.L, self.w, self.k = L, W, K
+        self.row_tile = row_tile
+        self.bits = max(int(q).bit_length() for q in moduli)
+        self.chunks_d = -(-self.bits // CHUNK_BITS)
+        self.chunks_t = self.chunks_d
+        self._tch = jnp.asarray(_slice_tables(tables_u64, moduli,
+                                              self.chunks_d))
+        self._sc = jnp.asarray(_sliced_consts(moduli))
+        cc = np.zeros((L, 1, 2), dtype=np.uint32)
+        qf = np.zeros((L, 1, 1), dtype=np.float32)
+        for l, q in enumerate(moduli):
+            q = int(q)
+            m64 = (big_q // q) % (1 << 64)
+            cc[l, 0, 0] = m64 & 0xFFFFFFFF
+            cc[l, 0, 1] = m64 >> 32
+            qf[l, 0, 0] = np.float32(1.0 / q)
+        self._cc = jnp.asarray(cc)
+        self._qf = jnp.asarray(qf)
+
+    @functools.lru_cache(maxsize=8)
+    def _call(self, rows: int, tile: int):
+        L, K, W = self.L, self.k, self.w
+        kern = functools.partial(
+            _inv_compose_kernel, chunks_d=self.chunks_d,
+            chunks_t=self.chunks_t, k=K, bits=self.bits, n_limbs=L)
+        nt = rows // tile
+        data_spec = pl.BlockSpec((1, K, tile), lambda m, l: (l, 0, m),
+                                 memory_space=pltpu.VMEM)
+        tch_spec = pl.BlockSpec((1, self.chunks_t, W, self.chunks_d * K),
+                                lambda m, l: (l, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 4), lambda m, l: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        cc_spec = pl.BlockSpec((1, 1, 2), lambda m, l: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        qf_spec = pl.BlockSpec((1, 1, 1), lambda m, l: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec((W, tile), lambda m, l: (0, m),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(nt, L),
+            in_specs=[data_spec, data_spec, tch_spec, sc_spec, cc_spec,
+                      qf_spec],
+            out_specs=(out_spec, out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((W, rows), jnp.uint32),
+                       jax.ShapeDtypeStruct((W, rows), jnp.uint32),
+                       jax.ShapeDtypeStruct((W, rows), jnp.float32)),
+            interpret=jax.default_backend() == "cpu",
+            compiler_params=_sliced_params(),
+        )
+
+    def __call__(self, d_lo, d_hi):
+        rows = d_lo.shape[2]
+        tile = min(self.row_tile, rows)
+        while rows % tile:
+            tile //= 2
+        call = self._call(rows, tile)
+        with jax.enable_x64(False):
+            return call(d_lo, d_hi, self._tch, self._sc, self._cc, self._qf)
+
+
 def _sliced_mul_ntt_kernel(dlo_ref, dhi_ref, slo_ref, shi_ref, tf_ref,
                            ti_ref, sc_ref, olo_ref, ohi_ref,
                            *, chunks_d: int, chunks_t: int, chunks_mid: int,

@@ -71,6 +71,8 @@ class WTransform:
         self._composer = CRTComposer(t)
         if self._fast_float:
             self._inv_scaled  # materialize eagerly (never inside a trace)
+            if self._use_pallas:
+                self._inv_compose
         from .fpmatmul import ExactComplexMatmul, fp_transforms_default
         self._fp_dft = self._fp_idft = None
         if fp_transforms_default() and not self._dd_transforms:
@@ -165,6 +167,68 @@ class WTransform:
             return [make_stage(scaled[lo:hi], p.moduli[lo:hi], side="left")
                     for lo, hi, _ in self._runs]
         return BatchedModTransform(scaled, p.moduli, side="left")
+
+    @functools.cached_property
+    def _inv_compose(self):
+        """Fused scaled-inverse + CRT-compose kernels, one per limb run
+        (SlicedInvCompose): the r' intermediate never touches HBM.  Same
+        out-of-trace materialization rule as _inv_scaled."""
+        t = self.tables
+        p = self.params
+        big_q = 1
+        for q in p.moduli:
+            big_q *= int(q)
+        scaled = np.empty_like(t.w_inv)
+        for l, q in enumerate(p.moduli):
+            q = int(q)
+            scaled[l] = (t.w_inv[l].astype(object) * int(t.crt_inv[l]) % q
+                         ).astype(np.uint64)
+        from .pallas_ntt import SlicedInvCompose
+        return big_q, [SlicedInvCompose(scaled[lo:hi], p.moduli[lo:hi],
+                                        big_q)
+                       for lo, hi, _ in self._runs]
+
+    def inverse_scaled_compose_pair(self, lo32, hi32, delta):
+        """Fused inverse_scaled + centered CRT compose / delta: u32-pair
+        eval residues [L, W, ...] -> f64 [W, ...].  Falls back to the
+        two-pass path off-TPU / for non-sliced configs."""
+        from .ddfloat import compose_tail_from_partials
+
+        L, W = lo32.shape[0], lo32.shape[1]
+        shape = lo32.shape
+        fl = lo32.reshape(L, W, -1)
+        fh = hi32.reshape(L, W, -1)
+        import os
+        fused_ok = (self._use_pallas and fl.shape[-1] % 8 == 0
+                    and os.environ.get("MFHE_FUSED_COMPOSE", "1") == "1"
+                    and os.environ.get("MFHE_STAGE_IMPL",
+                                       "sliced") == "sliced")
+        if not fused_ok:
+            from .ddfloat import compose_scaled_pair_to_float
+            p = self.params
+            big_q = 1
+            for q in p.moduli:
+                big_q *= int(q)
+            sl, sh = self.inverse_scaled_pair(lo32, hi32)
+            return compose_scaled_pair_to_float(
+                sl.reshape(L, W, -1), sh.reshape(L, W, -1), p.moduli,
+                big_q, self.params.delta if delta is None else delta
+            ).reshape(shape[1:])
+        big_q, kerns = self._inv_compose
+        acc_l = acc_h = kacc = None
+        for (a, b, _), kern in zip(self._runs, kerns):
+            pl_, ph_, kk = kern(fl[a:b], fh[a:b])
+            if acc_l is None:
+                acc_l, acc_h, kacc = pl_, ph_, kk
+            else:
+                import jax.numpy as _jnp
+                s = acc_l + pl_
+                c = (s < pl_).astype(_jnp.uint32)
+                acc_l = s
+                acc_h = acc_h + ph_ + c
+                kacc = kacc + kk
+        out = compose_tail_from_partials(acc_l, acc_h, kacc, big_q, delta)
+        return out.reshape(shape[1:])
 
     def inverse_scaled(self, x: jnp.ndarray) -> jnp.ndarray:
         """inverse() with outputs pre-multiplied by M_l^{-1} mod q_l."""
