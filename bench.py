@@ -121,9 +121,10 @@ def main():
             _ = jax.device_get(dr[:1, :1, :1])
             t_first = time.time() - t0
             t0 = time.perf_counter()
-            dr, di = ctx.roundtrip(rej, imj, sk)
+            for _ in range(5):  # amortize tunnel dispatch + the one fence
+                dr, di = ctx.roundtrip(rej, imj, sk)
             _ = jax.device_get(dr[:1, :1, :1])
-            rt_ms = (time.perf_counter() - t0 - 0.03) * 1e3
+            rt_ms = (time.perf_counter() - t0 - 0.03) / 5 * 1e3
             err = float(np.hypot(np.asarray(dr) - re,
                                  np.asarray(di) - im).max())
             assert err < 1e-4, f"ref pipeline err {err} >= 1e-4"
