@@ -53,3 +53,18 @@ def _check(z, params: GLParams) -> None:
     if fp != want:
         raise ValueError(
             f"checkpoint was written for params {fp}, context has {want}")
+
+
+def save_matmul_tensor(path: str, tt, params: GLParams) -> None:
+    """Checkpoint a homomorphic-GEMM tensor (models/he_matmul.MatmulTensor):
+    the rank-2 object a server ships back for two-sided-key decryption."""
+    np.savez_compressed(path, fp=params_fingerprint(params),
+                        **{k: np.asarray(v) for k, v in tt._asdict().items()})
+
+
+def load_matmul_tensor(path: str, params: GLParams):
+    from ..models.he_matmul import MatmulTensor
+    z = np.load(path)
+    _check(z, params)
+    return MatmulTensor(**{k: jnp.asarray(z[k])
+                           for k in MatmulTensor._fields})

@@ -95,3 +95,18 @@ def test_requires_gl_ring():
     ctx = HEContext(p, ring="nega")
     with pytest.raises(ValueError):
         HEMatmul(ctx)
+
+
+def test_matmul_tensor_serialization(setup, tmp_path):
+    p, ctx, hm, A, B, pA, pB = setup
+    from matrix_fhe_tpu.utils import serialization as ser
+
+    sk = ctx.generate_secret_key(key=jax.random.key(3))
+    ctA = ctx.encrypt_pair(*pA, sk, key=jax.random.key(11))
+    ctB = ctx.encrypt_pair(*pB, sk, key=jax.random.key(12))
+    tt = hm.matmul(ctA, ctB)
+    path = str(tmp_path / "tensor.npz")
+    ser.save_matmul_tensor(path, tt, p)
+    tt2 = ser.load_matmul_tensor(path, p)
+    for a, b in zip(tt, tt2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

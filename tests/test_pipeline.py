@@ -179,3 +179,25 @@ def test_debug_hooks():
     assert debug.count_nonzero(x) == 3
     hi = jnp.asarray(np.array([[0, 0], [1, 0], [0, 0]], dtype=np.uint64))
     assert debug.count_over_i64(hi) == 1
+
+
+def test_fused_compose_decode_bitwise_equal():
+    """SlicedInvCompose (W-CRT inverse fused with the CRT compose) must
+    produce a bit-identical decode vs the two-pass path (the f32 k-quotient
+    never moves the integer k)."""
+    import os
+
+    p = get_params("small")
+    ctx = HEContext(p, use_pallas=True, fast_float=True)
+    rng = np.random.default_rng(3)
+    re = jnp.asarray(rng.uniform(-4, 4, size=(p.phi, p.n, p.n)))
+    im = jnp.asarray(rng.uniform(-4, 4, size=(p.phi, p.n, p.n)))
+    pr, pi = ctx.batched_encoder.encode_pair(re, im)
+    d1 = ctx.batched_encoder.decode_pair(pr, pi)
+    os.environ["MFHE_FUSED_COMPOSE"] = "0"
+    try:
+        d2 = ctx.batched_encoder.decode_pair(pr, pi)
+    finally:
+        os.environ.pop("MFHE_FUSED_COMPOSE", None)
+    np.testing.assert_array_equal(np.asarray(d1[0]), np.asarray(d2[0]))
+    np.testing.assert_array_equal(np.asarray(d1[1]), np.asarray(d2[1]))
