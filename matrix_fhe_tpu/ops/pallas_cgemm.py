@@ -46,65 +46,76 @@ def _cgemm_kernel(arl_ref, arh_ref, ail_ref, aih_ref,
     ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
     qil, qih = sc_ref[0, 0, 2], sc_ref[0, 0, 4]
     qi28 = sc_ref[0, 0, 3]
-    for w in range(wb):
-        # A digit planes, concat along the contraction axis (axis 1)
-        acat_r = _data_digits(arl_ref[0, w], arh_ref[0, w], chunks_d, 1)
-        acat_i = _data_digits(ail_ref[0, w], aih_ref[0, w], chunks_d, 1)
+    rows = wb * n
+    # every phase except the dots is elementwise: run them LANE-MERGED on
+    # [wb*n, n] views (per-lane [64, 64] op streams replicate each vector
+    # instruction wb times); the dots slice per-lane rows out of the merged
+    # digit planes (sublane slices, cheap)
+    arl = arl_ref[0].reshape(rows, n)
+    arh = arh_ref[0].reshape(rows, n)
+    ail = ail_ref[0].reshape(rows, n)
+    aih = aih_ref[0].reshape(rows, n)
 
-        # B pre-reduction: T_c planes = digit c of B * (n * 2^(28+7j)),
-        # concat over j along the contraction axis
-        def bcat(bl, bh):
-            planes = [None] * chunks_t
-            for j in range(chunks_d):
-                cl = cj_ref[0, 0, 2 * j]
-                ch = cj_ref[0, 0, 2 * j + 1]
-                tjh, tjl = _montmul48(bh, bl, ch, cl, qh, ql, qih, qil)
-                for c in range(chunks_t):
-                    s = CHUNK_BITS * c
-                    if s + CHUNK_BITS <= 32:
-                        d = ((tjl >> np.uint32(s)) & np.uint32(127)
-                             ) if s else (tjl & np.uint32(127))
-                    elif s >= 32:
-                        d = (tjh >> np.uint32(s - 32)) & np.uint32(127)
-                    else:
-                        d = ((tjl >> np.uint32(s))
-                             | (tjh << np.uint32(32 - s))) & np.uint32(127)
-                    d8 = d.astype(jnp.int8)
-                    planes[c] = d8 if planes[c] is None else \
-                        jnp.concatenate([planes[c], d8], axis=1)
-            return planes
+    acat_r = _data_digits(arl, arh, chunks_d, 1)      # [rows, cd*n]
+    acat_i = _data_digits(ail, aih, chunks_d, 1)
 
-        tbr = bcat(brl_ref[0, w], brh_ref[0, w])
-        tbi = bcat(bil_ref[0, w], bih_ref[0, w])
+    def bcat(bl, bh):
+        pieces = [[] for _ in range(chunks_t)]
+        for j in range(chunks_d):
+            cl = cj_ref[0, 0, 2 * j]
+            ch = cj_ref[0, 0, 2 * j + 1]
+            tjh, tjl = _montmul48(bh, bl, ch, cl, qh, ql, qih, qil)
+            for c in range(chunks_t):
+                s = CHUNK_BITS * c
+                if s + CHUNK_BITS <= 32:
+                    d = ((tjl >> np.uint32(s)) & np.uint32(127)
+                         ) if s else (tjl & np.uint32(127))
+                elif s >= 32:
+                    d = (tjh >> np.uint32(s - 32)) & np.uint32(127)
+                else:
+                    d = ((tjl >> np.uint32(s))
+                         | (tjh << np.uint32(32 - s))) & np.uint32(127)
+                pieces[c].append(d.astype(jnp.int8))
+        return [jnp.concatenate(p, axis=1) for p in pieces]
 
-        def gemm(acat, tb):
-            diags = [jax.lax.dot_general(acat, tb[c], (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.int32)
-                     for c in range(chunks_t)]
-            return _fold_redc28(diags, qh, ql, qi28,
-                                diag_bound=chunks_d * n * 127 * 127,
-                                bits=bits)
+    tbr = bcat(brl_ref[0].reshape(rows, n), brh_ref[0].reshape(rows, n))
+    tbi = bcat(bil_ref[0].reshape(rows, n), bih_ref[0].reshape(rows, n))
 
-        rr_h, rr_l = gemm(acat_r, tbr)     # Ar @ Br
-        ii_h, ii_l = gemm(acat_i, tbi)     # Ai @ Bi
-        ri_h, ri_l = gemm(acat_r, tbi)     # Ar @ Bi
-        ir_h, ir_l = gemm(acat_i, tbr)     # Ai @ Br
-        # C_re = rr - ii, C_im = ri + ir  (canonical mod-q add/sub on pairs)
-        bl = rr_l - ii_l
-        bb = (rr_l < ii_l).astype(U32)
-        bh = rr_h - ii_h - bb
-        neg = (rr_h < ii_h) | ((rr_h == ii_h) & (rr_l < ii_l))
-        al = bl + ql
-        ac = (al < bl).astype(U32)
-        crl_ref[0, w] = jnp.where(neg, al, bl)
-        crh_ref[0, w] = jnp.where(neg, bh + qh + ac, bh)
-        sl = ri_l + ir_l
-        sc_ = (sl < ir_l).astype(U32)
-        sh = ri_h + ir_h + sc_
-        ge = (sh > qh) | ((sh == qh) & (sl >= ql))
-        borrow = (sl < ql).astype(U32)
-        cil_ref[0, w] = jnp.where(ge, sl - ql, sl)
-        cih_ref[0, w] = jnp.where(ge, sh - qh - borrow, sh)
+    def gemm(acat, tb):
+        # per-lane dots (each lane contracts against its own B table),
+        # merged diagonals, ONE fold
+        diags = []
+        for c in range(chunks_t):
+            per_lane = [jax.lax.dot_general(
+                acat[w * n:(w + 1) * n], tb[c][w * n:(w + 1) * n],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32) for w in range(wb)]
+            diags.append(per_lane[0] if wb == 1
+                         else jnp.concatenate(per_lane, axis=0))
+        return _fold_redc28(diags, qh, ql, qi28,
+                            diag_bound=chunks_d * n * 127 * 127,
+                            bits=bits)
+
+    rr_h, rr_l = gemm(acat_r, tbr)     # Ar @ Br
+    ii_h, ii_l = gemm(acat_i, tbi)     # Ai @ Bi
+    ri_h, ri_l = gemm(acat_r, tbi)     # Ar @ Bi
+    ir_h, ir_l = gemm(acat_i, tbr)     # Ai @ Br
+    # C_re = rr - ii, C_im = ri + ir  (canonical mod-q add/sub on pairs)
+    bl = rr_l - ii_l
+    bb = (rr_l < ii_l).astype(U32)
+    bh = rr_h - ii_h - bb
+    neg = (rr_h < ii_h) | ((rr_h == ii_h) & (rr_l < ii_l))
+    al = bl + ql
+    ac = (al < bl).astype(U32)
+    crl_ref[0] = jnp.where(neg, al, bl).reshape(wb, n, n)
+    crh_ref[0] = jnp.where(neg, bh + qh + ac, bh).reshape(wb, n, n)
+    sl = ri_l + ir_l
+    sc_ = (sl < ir_l).astype(U32)
+    sh = ri_h + ir_h + sc_
+    ge = (sh > qh) | ((sh == qh) & (sl >= ql))
+    borrow = (sl < ql).astype(U32)
+    cil_ref[0] = jnp.where(ge, sl - ql, sl).reshape(wb, n, n)
+    cih_ref[0] = jnp.where(ge, sh - qh - borrow, sh).reshape(wb, n, n)
 
 
 class SlicedCGemm:
