@@ -1,0 +1,249 @@
+"""Relinearization via RNS-hybrid key switching — the apparatus the
+reference RESERVES moduli for but never builds.
+
+config.h:43-52 sets aside three P-primes "for key switching"; no kernel in
+the reference ever touches them, so tensor ciphertexts (d0, d1, d2) from
+multiply_ciphertexts_raw can only be decrypted with s^2 in hand.  This
+module activates the P basis:
+
+  * gadget = CRT idempotent decomposition over limb groups G_i with
+    prod(G_i) <= P (RNS-hybrid / Han-Ki style): digits are plain limb
+    subsets, D_i = [x]_{Q_i}, extended to the full QP basis by the exact
+    float-assisted base conversion (ops/rns_ext.py);
+  * relin key rlk_i = (-a_i s + e_i + g_i s^2, a_i) over QP with
+    g_i = P * (Q/Q_i) * ((Q/Q_i)^{-1} mod Q_i) mod QP, stored in
+    (W-eval, X-NTT) Montgomery form;
+  * key switch: ks = sum_i D_i (*) rlk_i over QP, ModDown by P (exact
+    centered division via the same base conversion), giving a rank-1
+    correction (kb, ka) with  kb + ka*s  ~=  d2*s^2  mod Q;
+  * multiply_relinearize: full homomorphic multiply returning a standard
+    2-component ciphertext (the reference cannot do this at all).
+
+Noise per switch ~ dnum * Q_i * sigma / P << 1 slot unit for every preset
+(P exceeds each group product by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GLParams, generate_ntt_primes
+from ..ops import modmath as mm
+from ..ops.ntt import XNTT
+from ..ops.rns_ext import BasisExtender
+from ..tables import build_tables
+from .he import Ciphertext, HEContext, SecretKey
+from . import rng as refrng
+
+
+class RelinKey(NamedTuple):
+    """Per-digit key pairs, (W-eval, X-NTT) domain, Montgomery form,
+    [dnum][2][Lqp, W, n, n]."""
+    b: Tuple[jnp.ndarray, ...]
+    a: Tuple[jnp.ndarray, ...]
+
+
+def _default_p_moduli(params: GLParams) -> Tuple[int, ...]:
+    if params.p_moduli:
+        return tuple(int(q) for q in params.p_moduli)
+    # generate a P basis disjoint from Q, sized ~ the Q primes
+    bits = max(int(q).bit_length() for q in params.moduli)
+    cand = generate_ntt_primes(len(params.moduli) + 3, bits - 1,
+                               params.n, params.p)
+    ps = [q for q in cand if q not in params.moduli][:3]
+    if len(ps) < 2:
+        raise ValueError("could not find disjoint P primes")
+    return tuple(ps)
+
+
+class RelinContext:
+    """Key-switch machinery bound to one HEContext (any ring)."""
+
+    def __init__(self, ctx: HEContext,
+                 p_moduli: Optional[Sequence[int]] = None):
+        if ctx.ring != "nega":
+            # The GL ring wraps X-convolutions by i_q — a DIFFERENT integer
+            # per modulus — so no global integer ring underlies the limb
+            # arrays and the ModDown slop times s is not limb-consistent
+            # (measured: decode-scale garbage).  The negacyclic production
+            # ring (X^n = -1, the reference's kDbgUsePhantomXY=true default)
+            # has an integer wrap and admits standard key switching.
+            raise ValueError("relinearization requires ring='nega'")
+        self.ctx = ctx
+        p = ctx.params
+        self.q_moduli = tuple(int(q) for q in p.moduli)
+        self.p_moduli = (tuple(int(q) for q in p_moduli) if p_moduli
+                         else _default_p_moduli(p))
+        self.qp_moduli = self.q_moduli + self.p_moduli
+        self.L = len(self.q_moduli)
+        self.K = len(self.p_moduli)
+        self.big_p = 1
+        for q in self.p_moduli:
+            self.big_p *= q
+        # limb groups: consecutive runs with product < P (digit bound)
+        groups: List[Tuple[int, ...]] = []
+        cur: List[int] = []
+        prod = 1
+        for l, q in enumerate(self.q_moduli):
+            if cur and prod * q >= self.big_p:
+                groups.append(tuple(cur))
+                cur, prod = [], 1
+            cur.append(l)
+            prod *= q
+        groups.append(tuple(cur))
+        self.groups = groups
+        self.dnum = len(groups)
+        # extended transform context over QP
+        self.ext_params = dataclasses.replace(
+            p, name=p.name + "-qp", moduli=self.qp_moduli, p_moduli=())
+        self._ext_tables = build_tables(self.ext_params)
+        self.xntt_qp = XNTT(self.ext_params, ring=ctx.ring,
+                            tables=self._ext_tables)
+        from ..ops.wcrt import WTransform
+        self.wt_qp = WTransform(self.ext_params, self._ext_tables)
+        # per-group exact base conversion to the full QP basis
+        self._extenders = [
+            BasisExtender([self.q_moduli[l] for l in g], self.qp_moduli)
+            for g in groups]
+        # ModDown: P -> Q conversion + P^-1 mod q
+        self._moddown = BasisExtender(self.p_moduli, self.q_moduli)
+        pinf = np.array(
+            [pow(self.big_p % q, -1, q) * ((1 << 64) % q) % q
+             for q in self.q_moduli], dtype=np.uint64)
+        self._pinv_mont = pinf
+        # gadget constants g_i mod r (plain domain)
+        big_q = 1
+        for q in self.q_moduli:
+            big_q *= q
+        self.big_q = big_q
+        gs = []
+        for g in groups:
+            q_i = 1
+            for l in g:
+                q_i *= self.q_moduli[l]
+            q_tilde = big_q // q_i
+            g_int = self.big_p * q_tilde * pow(q_tilde % q_i, -1, q_i)
+            gs.append(np.array([g_int % r for r in self.qp_moduli],
+                               dtype=np.uint64))
+        self._g_consts = gs
+        self._cqp = mm.mont_consts_arrays(self.qp_moduli,
+                                          shape_suffix=(1, 1, 1))
+        self._cq = mm.mont_consts_arrays(self.q_moduli,
+                                         shape_suffix=(1, 1, 1))
+
+    # -- key generation ------------------------------------------------------
+
+    def gen_relin_key(self, s_coeff: jnp.ndarray, key: jax.Array) -> RelinKey:
+        """s_coeff: the ternary secret as per-limb residues [L, W, n]
+        (limb-consistent pattern; limb 0 is used to lift to the P basis)."""
+        p = self.ctx.params
+        cqp = self._cqp
+        q = cqp["q"]
+        qi = cqp["qinv_neg"]
+        r2 = cqp["r2"]
+        # lift s to QP limbs from the ternary pattern of limb 0, then into
+        # the key's domain: W-CRT eval FIRST (the secret key lives in
+        # W-eval x X-NTT, HE.cu:1272-1307), then X-NTT
+        s0 = np.asarray(s_coeff[0])
+        sign = np.where(s0 == 0, 0, np.where(s0 == 1, 1, -1))
+        s_qp = np.stack([np.where(sign >= 0, sign, r + sign).astype(np.uint64)
+                         for r in self.qp_moduli])
+        s_eval = self.wt_qp.forward(jnp.asarray(s_qp))
+        s_hat = self.xntt_qp.forward(s_eval)                 # [Lqp, W, n]
+        s_mont = mm.to_mont(s_hat, q[..., 0], qi[..., 0], r2[..., 0])
+        s2_hat = mm.mont_mul(s_mont, s_hat, q[..., 0], qi[..., 0])  # s^2 plain
+        bs, as_ = [], []
+        for i in range(self.dnum):
+            key, ka, ke = jax.random.split(key, 3)
+            a = refrng.fresh_uniform_a(ka, self.ext_params)  # [Lqp, W, n, n]
+            e = refrng.fresh_gaussian_noise(ke, self.ext_params)
+            a_hat = self.xntt_qp.forward(a)
+            # noise must be small in the (W-coeff, X-coeff) INTEGER domain:
+            # W-CRT it like encrypt does (HE.cu:1516-1519)
+            e_hat = self.xntt_qp.forward(self.wt_qp.forward(e))
+            a_mont = mm.to_mont(a_hat, q, qi, r2)
+            a_s = mm.mont_mul(a_mont, s_hat[:, :, None, :], q, qi)
+            g = jnp.asarray(self._g_consts[i].reshape(-1, 1, 1, 1))
+            g_mont = mm.to_mont(g, q, qi, r2)
+            gs2 = mm.mont_mul(g_mont, s2_hat[:, :, None, :], q, qi)
+            b = mm.add_mod(mm.sub_mod(e_hat, a_s, q), gs2, q)
+            bs.append(mm.to_mont(b, q, qi, r2))
+            as_.append(a_mont)
+        return RelinKey(b=tuple(bs), a=tuple(as_))
+
+    # -- the switch ----------------------------------------------------------
+
+    def key_switch_d2(self, d2_coeff: jnp.ndarray, rlk: RelinKey
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """d2 (X-coeff, W-eval, [L, W, n, n]) -> rank-1 correction (kb, ka)
+        mod Q in (X-coeff, W-eval), with kb + ka*s ~= d2*s^2.
+
+        The digit decomposition and ModDown run in the (W-coeff, X-coeff)
+        domain: their per-element representative slop must be small as
+        INTEGER ring coefficients (an element with small W-EVAL lane values
+        interpolates to full-range integer coefficients - lane-domain FBC
+        would be decode-garbage; found the hard way)."""
+        cqp = self._cqp
+        q = cqp["q"]
+        qi = cqp["qinv_neg"]
+        d2_wc = self.ctx.wt.inverse(d2_coeff)            # -> W-coeff
+        ksb = ksa = None
+        for i, g in enumerate(self.groups):
+            digit = self._extenders[i].extend(
+                d2_wc[jnp.asarray(list(g))])             # [Lqp, W, n, n]
+            hat = self.xntt_qp.forward(self.wt_qp.forward(digit))
+            tb = mm.mont_mul(hat, rlk.b[i], q, qi)
+            ta = mm.mont_mul(hat, rlk.a[i], q, qi)
+            ksb = tb if ksb is None else mm.add_mod(ksb, tb, q)
+            ksa = ta if ksa is None else mm.add_mod(ksa, ta, q)
+        ksb_c = self.wt_qp.inverse(self.xntt_qp.inverse(ksb))
+        ksa_c = self.wt_qp.inverse(self.xntt_qp.inverse(ksa))
+        kb = self.ctx.wt.forward(self._mod_down(ksb_c))
+        ka = self.ctx.wt.forward(self._mod_down(ksa_c))
+        return kb, ka
+
+    def _mod_down(self, y_qp: jnp.ndarray) -> jnp.ndarray:
+        """round(y/P) mod Q, exact centered division by the P basis
+        ((W-coeff, X-coeff) domain inputs)."""
+        cq = self._cq
+        q = cq["q"]
+        qi = cq["qinv_neg"]
+        c = self._moddown.extend(y_qp[self.L:])          # [L, W, n, n]
+        diff = mm.sub_mod(y_qp[:self.L], c, q)
+        pinv = jnp.asarray(self._pinv_mont.reshape(-1, 1, 1, 1))
+        return mm.mont_mul(diff, pinv, q, qi)
+
+    # -- full homomorphic multiply ------------------------------------------
+
+    def multiply_relinearize(self, ct1: Ciphertext, ct2: Ciphertext,
+                             rlk: RelinKey) -> Ciphertext:
+        """(ct1 * ct2) relinearized to a standard 2-component ciphertext.
+        Ring products run pointwise in the (W-eval, X-NTT) domain; the
+        result carries Delta^2 scale (decode with delta_override)."""
+        ctx = self.ctx
+        cq = self._cq
+        q = cq["q"]
+        qi = cq["qinv_neg"]
+        r2 = cq["r2"]
+        xn = ctx.xntt
+        b1 = xn.forward(ct1.b)
+        a1 = xn.forward(ct1.a)
+        b2 = xn.forward(ct2.b)
+        a2 = xn.forward(ct2.a)
+        b1m = mm.to_mont(b1, q, qi, r2)
+        a1m = mm.to_mont(a1, q, qi, r2)
+        d0 = mm.mont_mul(b1m, b2, q, qi)
+        d1 = mm.add_mod(mm.mont_mul(b1m, a2, q, qi),
+                        mm.mont_mul(a1m, b2, q, qi), q)
+        d2 = mm.mont_mul(a1m, a2, q, qi)
+        d2c = xn.inverse(d2)
+        kb, ka = self.key_switch_d2(d2c, rlk)
+        b = mm.add_mod(xn.inverse(d0), kb, q)
+        a = mm.add_mod(xn.inverse(d1), ka, q)
+        return Ciphertext(b=b, a=a)

@@ -1,0 +1,94 @@
+"""Relinearization / RNS-hybrid key switching (models/keyswitch.py) — the
+P-basis machinery the reference reserves moduli for but never builds."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from matrix_fhe_tpu.config import get_params
+from matrix_fhe_tpu.models.he import HEContext
+from matrix_fhe_tpu.models.keyswitch import RelinContext
+from matrix_fhe_tpu.models import rng as refrng
+from matrix_fhe_tpu.ops import modmath as mm
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = get_params("tiny")
+    ctx = HEContext(p, ring="nega")        # the production X-ring
+    rc = RelinContext(ctx)
+    sk = ctx.generate_secret_key()
+    s_coeff = refrng.ternary_secret(p)     # same deterministic stream
+    rlk = rc.gen_relin_key(jnp.asarray(s_coeff), jax.random.key(5))
+    return p, ctx, rc, sk, rlk
+
+
+def _composed_mag(ctx, diff, moduli):
+    """max |centered CRT-composed| of a mod-Q array, measured in the
+    W-COEFF domain (a small ring element has FULL-RANGE W-eval lane
+    values; the integer smallness lives in its coefficients)."""
+    dw = np.asarray(ctx.wt.inverse(diff)).astype(object)
+    big_q = 1
+    for q in moduli:
+        big_q *= int(q)
+    val = np.zeros(dw.shape[1:], dtype=object)
+    for l, q in enumerate(moduli):
+        q = int(q)
+        m = big_q // q
+        val = (val + dw[l] * (pow(m, -1, q) * m % big_q)) % big_q
+    val = np.where(val > big_q // 2, val - big_q, val)
+    return int(np.abs(val).max())
+
+
+def test_key_switch_identity(setup, rng):
+    """kb + ka*s must equal d2*s^2 up to key-switch noise << q."""
+    p, ctx, rc, sk, rlk = setup
+    d2 = jnp.asarray(np.stack(
+        [rng.integers(0, q, size=(p.phi, p.n, p.n), dtype=np.uint64)
+         for q in p.moduli]))
+    kb, ka = rc.key_switch_d2(d2, rlk)
+    # lhs = kb + ka (*) s ; rhs = d2 (*) s (*) s  (ring products along X)
+    c = ctx._c4
+    q4 = c["q"]
+    lhs = mm.add_mod(kb, ctx.xntt.mul_s(ka, sk.s_mont), q4)
+    rhs = ctx.xntt.mul_s(ctx.xntt.mul_s(d2, sk.s_mont), sk.s_mont)
+    diff = mm.sub_mod(lhs, rhs, q4)
+    # error = ModDown representative slop <= ~(1 + nnz(s)) plus the
+    # D*e/P noise (~2^-20 for tiny); measured 51
+    mag = _composed_mag(ctx, diff, p.moduli)
+    assert mag < 10_000, f"key-switch noise too large: {mag:.3e}"
+
+
+def test_multiply_relinearize_end_to_end(setup, rng):
+    """Full homomorphic multiply -> rank-1 standard ciphertext whose
+    decryption equals the RING product of the decrypted plaintexts, up to
+    the key-switch + tensor noise (measured against the plaintext product
+    computed with the same exact NTT machinery)."""
+    p, ctx, rc, sk, rlk = setup
+    rng_np = rng
+
+    def enc(key):
+        m = jnp.asarray(np.stack(
+            [rng_np.integers(0, 1 << 20, size=(p.phi, p.n, p.n))
+             .astype(np.uint64) for _ in p.moduli]))
+        return ctx.encrypt(m, sk), m
+
+    ct1, m1 = enc(21)
+    ct2, m2 = enc(22)
+    ct = rc.multiply_relinearize(ct1, ct2, rlk)
+    assert ct.b.shape == ct1.b.shape             # rank-1, standard layout
+    got = ctx.decrypt_to_eval(ct, sk)
+    # plaintext ring product of the true decryptions (incl. their noise)
+    p1 = ctx.decrypt_to_eval(ct1, sk)
+    p2 = ctx.decrypt_to_eval(ct2, sk)
+    c4 = ctx._c4
+    h1 = ctx.xntt.forward(p1)
+    h2 = ctx.xntt.forward(p2)
+    want = ctx.xntt.inverse(mm.mont_mul(
+        mm.to_mont(h1, c4["q"], c4["qinv_neg"], c4["r2"]), h2,
+        c4["q"], c4["qinv_neg"]))
+    diff = mm.sub_mod(got, want, c4["q"])
+    # relinearization noise only (the tensor part is exact here)
+    mag = _composed_mag(ctx, diff, p.moduli)
+    assert mag < 100_000, mag
