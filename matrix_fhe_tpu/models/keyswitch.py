@@ -139,25 +139,41 @@ class RelinContext:
 
     # -- key generation ------------------------------------------------------
 
-    def gen_relin_key(self, s_coeff: jnp.ndarray, key: jax.Array) -> RelinKey:
-        """s_coeff: the ternary secret as per-limb residues [L, W, n]
-        (limb-consistent pattern; limb 0 is used to lift to the P basis)."""
-        p = self.ctx.params
-        cqp = self._cqp
-        q = cqp["q"]
-        qi = cqp["qinv_neg"]
-        r2 = cqp["r2"]
-        # lift s to QP limbs from the ternary pattern of limb 0, then into
-        # the key's domain: W-CRT eval FIRST (the secret key lives in
-        # W-eval x X-NTT, HE.cu:1272-1307), then X-NTT
+    def _lift_ternary(self, s_coeff: jnp.ndarray) -> jnp.ndarray:
+        """Ternary secret (per-limb residues [L, W, n], limb-consistent)
+        -> X-NTT(W-CRT(s)) over the QP basis [Lqp, W, n]."""
         s0 = np.asarray(s_coeff[0])
         sign = np.where(s0 == 0, 0, np.where(s0 == 1, 1, -1))
         s_qp = np.stack([np.where(sign >= 0, sign, r + sign).astype(np.uint64)
                          for r in self.qp_moduli])
-        s_eval = self.wt_qp.forward(jnp.asarray(s_qp))
-        s_hat = self.xntt_qp.forward(s_eval)                 # [Lqp, W, n]
+        return self.xntt_qp.forward(self.wt_qp.forward(jnp.asarray(s_qp)))
+
+    def gen_relin_key(self, s_coeff: jnp.ndarray, key: jax.Array) -> RelinKey:
+        """Switching key for s^2 -> s (relinearization).  s_coeff: the
+        ternary secret as per-limb residues [L, W, n]."""
+        cqp = self._cqp
+        q = cqp["q"]
+        qi = cqp["qinv_neg"]
+        r2 = cqp["r2"]
+        s_hat = self._lift_ternary(s_coeff)
         s_mont = mm.to_mont(s_hat, q[..., 0], qi[..., 0], r2[..., 0])
         s2_hat = mm.mont_mul(s_mont, s_hat, q[..., 0], qi[..., 0])  # s^2 plain
+        return self.gen_switch_key(s2_hat, s_coeff, key)
+
+    def gen_switch_key(self, target_hat: jnp.ndarray, s_coeff: jnp.ndarray,
+                       key: jax.Array) -> RelinKey:
+        """General switching key encrypting `target` (any ring element
+        given in X-NTT x W-eval over QP, [Lqp, W, n] or [Lqp, W, n, n])
+        under the secret s: key-switching a component by this key replaces
+        a factor of `target` with a factor of s (re-keying: target = the
+        OLD secret; relinearization: target = s^2)."""
+        cqp = self._cqp
+        q = cqp["q"]
+        qi = cqp["qinv_neg"]
+        r2 = cqp["r2"]
+        s_hat = self._lift_ternary(s_coeff)
+        if target_hat.ndim == 3:
+            target_hat = target_hat[:, :, None, :]
         bs, as_ = [], []
         for i in range(self.dnum):
             key, ka, ke = jax.random.split(key, 3)
@@ -171,7 +187,7 @@ class RelinContext:
             a_s = mm.mont_mul(a_mont, s_hat[:, :, None, :], q, qi)
             g = jnp.asarray(self._g_consts[i].reshape(-1, 1, 1, 1))
             g_mont = mm.to_mont(g, q, qi, r2)
-            gs2 = mm.mont_mul(g_mont, s2_hat[:, :, None, :], q, qi)
+            gs2 = mm.mont_mul(g_mont, target_hat, q, qi)
             b = mm.add_mod(mm.sub_mod(e_hat, a_s, q), gs2, q)
             bs.append(mm.to_mont(b, q, qi, r2))
             as_.append(a_mont)

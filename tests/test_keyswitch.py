@@ -92,3 +92,29 @@ def test_multiply_relinearize_end_to_end(setup, rng):
     # relinearization noise only (the tensor part is exact here)
     mag = _composed_mag(ctx, diff, p.moduli)
     assert mag < 100_000, mag
+
+
+def test_rekey_switch(setup, rng):
+    """General key switching: move a ciphertext from secret s_old to s (the
+    fixture key) via a switching key for s_old."""
+    p, ctx, rc, sk, rlk = setup
+    # fresh old key
+    k_old = jax.random.key(77)
+    sk_old = ctx.generate_secret_key(k_old)
+    s_old_coeff = refrng.fresh_ternary_secret(k_old, p)
+    m = jnp.asarray(np.stack(
+        [rng.integers(0, 1 << 20, size=(p.phi, p.n, p.n)).astype(np.uint64)
+         for _ in p.moduli]))
+    ct = ctx.encrypt(m, sk_old)
+    # switching key: encrypts s_old under s
+    s_old_hat = rc._lift_ternary(jnp.asarray(s_old_coeff))
+    swk = rc.gen_switch_key(s_old_hat, jnp.asarray(refrng.ternary_secret(p)),
+                            jax.random.key(6))
+    kb, ka = rc.key_switch_d2(ct.a, swk)
+    from matrix_fhe_tpu.models.he import Ciphertext
+    c4 = ctx._c4
+    ct_new = Ciphertext(b=mm.add_mod(ct.b, kb, c4["q"]), a=ka)
+    got = ctx.decrypt_to_eval(ct_new, sk)
+    want = ctx.decrypt_to_eval(ct, sk_old)
+    diff = mm.sub_mod(got, want, c4["q"])
+    assert _composed_mag(ctx, diff, p.moduli) < 10_000
