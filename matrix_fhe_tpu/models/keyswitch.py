@@ -263,3 +263,47 @@ class RelinContext:
         b = mm.add_mod(xn.inverse(d0), kb, q)
         a = mm.add_mod(xn.inverse(d1), ka, q)
         return Ciphertext(b=b, a=a)
+
+
+def w_automorphism_perm(params: GLParams, j: int) -> np.ndarray:
+    """Lane permutation of the W-axis Galois automorphism W -> W^j
+    (j a unit mod p): tau(x)[w] = x[perm[w]] with
+    exp[perm[w]] = j * exp[w] mod p.  The exponent table covers ALL units
+    mod p (SURVEY 2.6), so every unit j acts; the unit group is the slot
+    rotation group of the packing."""
+    if np.gcd(j, params.p) != 1:
+        raise ValueError("automorphism index must be a unit mod p")
+    exps = np.asarray(params.w_exponents)
+    perm = np.empty(len(exps), dtype=np.int64)
+    lookup = {int(e): i for i, e in enumerate(exps)}
+    for w, e in enumerate(exps):
+        perm[w] = lookup[(j * int(e)) % params.p]
+    return perm
+
+
+class GaloisKeys:
+    """Slot-rotation support: W-axis automorphism keys (the homomorphic
+    rotation machinery the reference has no trace of)."""
+
+    def __init__(self, rc: RelinContext, s_coeff: jnp.ndarray,
+                 indices: Sequence[int], key: jax.Array):
+        self.rc = rc
+        self._perms = {}
+        self._keys = {}
+        s_hat = rc._lift_ternary(s_coeff)
+        for j in indices:
+            key, sub = jax.random.split(key)
+            perm = w_automorphism_perm(rc.ctx.params, j)
+            tau_s = s_hat[:, jnp.asarray(perm), :]
+            self._perms[j] = jnp.asarray(perm)
+            self._keys[j] = rc.gen_switch_key(tau_s, s_coeff, sub)
+
+    def apply(self, ct: Ciphertext, j: int) -> Ciphertext:
+        """tau_j(ct): permutes the packed slots, re-keyed back to s."""
+        rc = self.rc
+        perm = self._perms[j]
+        tb = ct.b[:, perm]
+        ta = ct.a[:, perm]
+        kb, ka = rc.key_switch_d2(ta, self._keys[j])
+        cq = rc._cq
+        return Ciphertext(b=mm.add_mod(tb, kb, cq["q"]), a=ka)

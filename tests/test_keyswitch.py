@@ -118,3 +118,28 @@ def test_rekey_switch(setup, rng):
     want = ctx.decrypt_to_eval(ct, sk_old)
     diff = mm.sub_mod(got, want, c4["q"])
     assert _composed_mag(ctx, diff, p.moduli) < 10_000
+
+
+def test_galois_slot_rotation(setup, rng):
+    """Homomorphic W-slot automorphism: tau_j(ct) decrypts to the lane
+    permutation of the plaintext (rotation over the packing group)."""
+    from matrix_fhe_tpu.models.keyswitch import GaloisKeys, w_automorphism_perm
+
+    p, ctx, rc, sk, rlk = setup
+    j = None
+    for cand in range(2, p.p):
+        if np.gcd(cand, p.p) == 1:
+            j = cand
+            break
+    gk = GaloisKeys(rc, jnp.asarray(refrng.ternary_secret(p)), [j],
+                    jax.random.key(8))
+    m = jnp.asarray(np.stack(
+        [rng.integers(0, 1 << 20, size=(p.phi, p.n, p.n)).astype(np.uint64)
+         for _ in p.moduli]))
+    ct = ctx.encrypt(m, sk)
+    ct_rot = gk.apply(ct, j)
+    got = ctx.decrypt_to_eval(ct_rot, sk)
+    perm = w_automorphism_perm(p, j)
+    want = ctx.decrypt_to_eval(ct, sk)[:, jnp.asarray(perm)]
+    diff = mm.sub_mod(got, want, ctx._c4["q"])
+    assert _composed_mag(ctx, diff, p.moduli) < 10_000
