@@ -307,3 +307,56 @@ class GaloisKeys:
         kb, ka = rc.key_switch_d2(ta, self._keys[j])
         cq = rc._cq
         return Ciphertext(b=mm.add_mod(tb, kb, cq["q"]), a=ka)
+
+
+class Rescaler:
+    """True CKKS rescale: divide-and-round each component by the LAST prime
+    and drop it from the modulus chain (scale Delta^2 -> Delta^2/q_last).
+
+    The reference's rescale_by_delta (trace.cu:132-161) multiplies by
+    Delta^-1 mod q, which is only exact when Delta divides the value - on a
+    generic product it adds k*Q/Delta garbage.  This is the correct
+    operation it gestures at, built on the same exact centered division as
+    ModDown (a one-prime P basis).  Combined with multiply_relinearize this
+    gives leveled multiplication depth."""
+
+    def __init__(self, moduli: Sequence[int]):
+        self.moduli = tuple(int(q) for q in moduli)
+        assert len(self.moduli) >= 2
+        self.q_last = self.moduli[-1]
+        self.rest = self.moduli[:-1]
+        self._ext = BasisExtender([self.q_last], self.rest)
+        self._qinv_mont = jnp.asarray(np.array(
+            [pow(self.q_last % q, -1, q) * ((1 << 64) % q) % q
+             for q in self.rest], dtype=np.uint64
+        ).reshape((-1,) + (1,) * 3))
+        self._c = mm.mont_consts_arrays(self.rest, shape_suffix=(1, 1, 1))
+
+    def rescale_component(self, y: jnp.ndarray) -> jnp.ndarray:
+        """[L, W, n, n] (W-coeff or any per-element-consistent domain whose
+        transform commutes per limb - use W-COEFF, see key_switch_d2)
+        -> [L-1, W, n, n] = round(y / q_last) mod the remaining chain."""
+        c = self._ext.extend(y[-1:])
+        diff = mm.sub_mod(y[:-1], c, self._c["q"])
+        return mm.mont_mul(diff, self._qinv_mont, self._c["q"],
+                           self._c["qinv_neg"])
+
+
+def rescale_ciphertext(ctx: HEContext, ct: Ciphertext,
+                       rs: Optional[Rescaler] = None) -> Ciphertext:
+    """Drop the last modulus from a ciphertext, dividing by q_last
+    (performed in the W-coeff domain; the division slop must be small as
+    integer coefficients)."""
+    rs = rs or Rescaler(ctx.params.moduli)
+    b_wc = ctx.wt.inverse(ct.b)
+    a_wc = ctx.wt.inverse(ct.a)
+    b2 = rs.rescale_component(b_wc)
+    a2 = rs.rescale_component(a_wc)
+    # transform back on the REDUCED chain
+    sub_wt = ctx.wt
+    # reuse the context tables limb-wise: forward() per limb is independent
+    b_out = sub_wt.forward(jnp.concatenate(
+        [b2, jnp.zeros_like(b_wc[-1:])]))[:-1]
+    a_out = sub_wt.forward(jnp.concatenate(
+        [a2, jnp.zeros_like(a_wc[-1:])]))[:-1]
+    return Ciphertext(b=b_out, a=a_out)

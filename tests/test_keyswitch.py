@@ -143,3 +143,54 @@ def test_galois_slot_rotation(setup, rng):
     want = ctx.decrypt_to_eval(ct, sk)[:, jnp.asarray(perm)]
     diff = mm.sub_mod(got, want, ctx._c4["q"])
     assert _composed_mag(ctx, diff, p.moduli) < 10_000
+
+
+def test_rescale_divides_by_last_prime(setup, rng):
+    """True rescale: ct' over Q/q_last decrypts to round(m/q_last) (+-1
+    slop), the operation the reference's rescale_by_delta gestures at but
+    gets wrong for non-divisible values."""
+    from matrix_fhe_tpu.models.keyswitch import Rescaler, rescale_ciphertext
+    import dataclasses
+    from matrix_fhe_tpu.models.he import HEContext as HECtx
+
+    p, ctx, rc, sk, rlk = setup
+    m = jnp.asarray(np.stack(
+        [rng.integers(0, 1 << 24, size=(p.phi, p.n, p.n)).astype(np.uint64)
+         for _ in p.moduli]))
+    ct = ctx.encrypt(m, sk)
+    ct2 = rescale_ciphertext(ctx, ct)
+    assert ct2.b.shape[0] == len(p.moduli) - 1
+    # decrypt on the reduced chain
+    p_red = dataclasses.replace(p, name=p.name + "-red",
+                                moduli=p.moduli[:-1])
+    ctx2 = HECtx(p_red, ring=ctx.ring)
+    from matrix_fhe_tpu.models.he import SecretKey
+    sk2 = SecretKey(s_mont=sk.s_mont[:-1])
+    got = ctx2.decrypt_to_eval(ct2, sk2)
+    # oracle: round(decrypt(ct) / q_last), computed exactly per coefficient
+    full = ctx.decrypt_to_eval(ct, sk)
+    fw = np.asarray(ctx.wt.inverse(full)).astype(object)
+    big_q = 1
+    for q in p.moduli:
+        big_q *= int(q)
+    val = np.zeros(fw.shape[1:], dtype=object)
+    for l, q in enumerate(p.moduli):
+        q = int(q)
+        mm_ = big_q // q
+        val = (val + fw[l] * (pow(mm_, -1, q) * mm_ % big_q)) % big_q
+    val = np.where(val > big_q // 2, val - big_q, val)
+    q_last = int(p.moduli[-1])
+    # exact integer round-to-nearest
+    want_int = (val + q_last // 2) // q_last
+    gw = np.asarray(ctx2.wt.inverse(got)).astype(object)
+    big_q2 = big_q // q_last
+    got_int = np.zeros(gw.shape[1:], dtype=object)
+    for l, q in enumerate(p_red.moduli):
+        q = int(q)
+        mm_ = big_q2 // q
+        got_int = (got_int + gw[l] * (pow(mm_, -1, q) * mm_ % big_q2)) % big_q2
+    got_int = np.where(got_int > big_q2 // 2, got_int - big_q2, got_int)
+    d = np.abs(got_int - want_int)
+    # per-component division slop is +-1, but the a-component's slop is
+    # multiplied by s at decrypt: bound ~ nnz(s) (measured <= 9 at tiny)
+    assert int(d.max()) <= 64, int(d.max())
