@@ -194,3 +194,78 @@ def test_rescale_divides_by_last_prime(setup, rng):
     # per-component division slop is +-1, but the a-component's slop is
     # multiplied by s at decrypt: bound ~ nnz(s) (measured <= 9 at tiny)
     assert int(d.max()) <= 64, int(d.max())
+
+
+def test_depth2_chain(setup, rng):
+    """Leveled composition: (ct1*ct2 -> relin -> rescale) * ct3 -> relin,
+    decrypted on the reduced chain, vs an exact plaintext oracle
+    (ring products + exact bigint round-division)."""
+    import dataclasses
+    from matrix_fhe_tpu.models.he import HEContext as HECtx, SecretKey
+    from matrix_fhe_tpu.models.keyswitch import (RelinContext,
+                                                 rescale_ciphertext)
+
+    p, ctx, rc, sk, rlk = setup
+
+    def enc(seed):
+        # realistic plaintexts are SMALL-COEFFICIENT ring elements (Delta-
+        # scaled encodings), LIMB-CONSISTENT: one integer coefficient array
+        # reduced mod every q (independent per-limb randoms are not an
+        # element and compose to Q/2-scale garbage)
+        c = rng.integers(0, 1 << 18, size=(p.phi, p.n, p.n))
+        coeffs = jnp.asarray(np.stack(
+            [(c % int(q)).astype(np.uint64) for q in p.moduli]))
+        return ctx.encrypt(ctx.wt.forward(coeffs), sk)
+
+    ct1, ct2, ct3 = enc(1), enc(2), enc(3)
+    prod = rc.multiply_relinearize(ct1, ct2, rlk)
+    prod_r = rescale_ciphertext(ctx, prod)
+
+    # level-1 context (reduced chain) + its own relin key (same secret)
+    p_red = dataclasses.replace(p, name=p.name + "-r1", moduli=p.moduli[:-1])
+    ctx1 = HECtx(p_red, ring=ctx.ring)
+    rc1 = RelinContext(ctx1)
+    s_coeff = refrng.ternary_secret(p)
+    rlk1 = rc1.gen_relin_key(jnp.asarray(s_coeff[:-1]), jax.random.key(9))
+    sk1 = SecretKey(s_mont=sk.s_mont[:-1])
+    from matrix_fhe_tpu.models.he import Ciphertext
+    ct3_r = Ciphertext(b=ct3.b[:-1], a=ct3.a[:-1])   # drop the limb of ct3
+    out = rc1.multiply_relinearize(prod_r, ct3_r, rlk1)
+
+    got = ctx1.decrypt_to_eval(out, sk1)
+
+    # ---- exact plaintext oracle ----
+    def ring_mul(cx, a, b):
+        c4 = cx._c4
+        ha = cx.xntt.forward(a)
+        hb = cx.xntt.forward(b)
+        return cx.xntt.inverse(mm.mont_mul(
+            mm.to_mont(ha, c4["q"], c4["qinv_neg"], c4["r2"]), hb,
+            c4["q"], c4["qinv_neg"]))
+
+    p1 = ctx.decrypt_to_eval(ct1, sk)
+    p2 = ctx.decrypt_to_eval(ct2, sk)
+    p3 = ctx.decrypt_to_eval(ct3, sk)
+    w12 = ring_mul(ctx, p1, p2)
+    # exact round-division by q_last, coefficient domain, bigint
+    w12c = np.asarray(ctx.wt.inverse(w12)).astype(object)
+    big_q = 1
+    for q in p.moduli:
+        big_q *= int(q)
+    val = np.zeros(w12c.shape[1:], dtype=object)
+    for l, q in enumerate(p.moduli):
+        q = int(q)
+        m_ = big_q // q
+        val = (val + w12c[l] * (pow(m_, -1, q) * m_ % big_q)) % big_q
+    val = np.where(val > big_q // 2, val - big_q, val)
+    q_last = int(p.moduli[-1])
+    w12r_int = (val + q_last // 2) // q_last
+    w12r = jnp.asarray(np.stack(
+        [(w12r_int % int(q)).astype(np.uint64) for q in p_red.moduli]))
+    w12r = ctx1.wt.forward(w12r)
+    want = ring_mul(ctx1, w12r, p3[:-1])
+    diff = mm.sub_mod(got, want, ctx1._c4["q"])
+    mag = _composed_mag(ctx1, diff, p_red.moduli)
+    # error ~ (rescale slop ~ nnz(s)) * |m3| + ks noise: m3 < 2^18 =>
+    # bound ~ 2^18 * 64 * conv ~ 2^30; measure against a safe ceiling
+    assert mag < 1 << 36, mag
