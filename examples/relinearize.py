@@ -10,7 +10,8 @@ the plaintexts (+ key-switch noise, reported).
 Run:  python examples/relinearize.py [preset]     (default "mid")
 
 "mid" = the reference geometry (n=64, phi=512) with a 4-limb chain;
-measured on one v5e: relinearization noise max 449 = 1.3e-8 * Delta.
+measured on one v5e: steady-state multiply+relinearize 117.6 ms,
+relinearization noise max 449 = 1.3e-8 * Delta.
 The full 11-limb "ref" chain needs ~7.5 GB of relin keys plus QP-limb
 transients - beyond one 16 GB chip alongside the ciphertexts; shard the
 dnum digit axis over a mesh for full-chain keys.
@@ -68,6 +69,12 @@ def main():
     _ = jax.device_get(ct.b.ravel()[:1])
     print(f"[relin] multiply+relinearize {time.time()-t0:.1f}s "
           f"(first call incl. compile)")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ct = rc.multiply_relinearize(ct1, ct2, rlk)
+    _ = jax.device_get(ct.b.ravel()[:1])
+    print(f"[relin] steady-state multiply+relinearize "
+          f"{(time.perf_counter()-t0-0.03)/3*1e3:.1f} ms")
 
     got = ctx.decrypt_to_eval(ct, sk)
     p1 = ctx.decrypt_to_eval(ct1, sk)

@@ -237,11 +237,21 @@ class RelinContext:
 
     # -- full homomorphic multiply ------------------------------------------
 
+    @functools.cached_property
+    def _multiply_relinearize_jit(self):
+        return jax.jit(self._multiply_relinearize_fn)
+
     def multiply_relinearize(self, ct1: Ciphertext, ct2: Ciphertext,
                              rlk: RelinKey) -> Ciphertext:
-        """(ct1 * ct2) relinearized to a standard 2-component ciphertext.
-        Ring products run pointwise in the (W-eval, X-NTT) domain; the
-        result carries Delta^2 scale (decode with delta_override)."""
+        """(ct1 * ct2) relinearized to a standard 2-component ciphertext,
+        one fused jit (the op graph has hundreds of nodes; dispatching them
+        eagerly through the device tunnel costs ~20 s vs ~1 s jitted)."""
+        return self._multiply_relinearize_jit(ct1, ct2, rlk)
+
+    def _multiply_relinearize_fn(self, ct1: Ciphertext, ct2: Ciphertext,
+                                 rlk: RelinKey) -> Ciphertext:
+        """Unjitted body (ring products pointwise in (W-eval, X-NTT);
+        the result carries Delta^2 scale - decode with delta_override)."""
         ctx = self.ctx
         cq = self._cq
         q = cq["q"]
