@@ -80,3 +80,39 @@ def test_dist_ntt_pallas_stages_bit_exact(rng):
     assert (fx == fp).all()
     back = np.asarray(d_pal.inverse(d_pal.forward(x)))
     assert (back == np.asarray(x)).all()
+
+
+def test_keyswitch_sharded_matches_unsharded(rng):
+    """Relinearized multiply under a W-sharded mesh == replicated result,
+    bit-exact (GSPMD places the W-contraction collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from matrix_fhe_tpu.models.he import Ciphertext
+    from matrix_fhe_tpu.models.keyswitch import RelinContext
+    from matrix_fhe_tpu.models import rng as refrng
+
+    p = get_params("tiny")
+    ctx = HEContext(p, ring="nega")
+    rc = RelinContext(ctx)
+    sk = ctx.generate_secret_key()
+    rlk = rc.gen_relin_key(
+        jnp.asarray(refrng.ternary_secret(p)), jax.random.key(5))
+    c = rng.integers(0, 1 << 16, size=(p.phi, p.n, p.n))
+    coeffs = jnp.asarray(np.stack(
+        [(c % int(q)).astype(np.uint64) for q in p.moduli]))
+    ct1 = ctx.encrypt(ctx.wt.forward(coeffs), sk)
+    ct2 = ctx.encrypt(ctx.wt.forward(coeffs), sk)
+
+    want = rc.multiply_relinearize(ct1, ct2, rlk)
+
+    mesh = meshlib.make_mesh({"tp": 8})
+    s_ct = NamedSharding(mesh, P(None, "tp", None, None))   # shard W lanes
+    rep = NamedSharding(mesh, P())
+    f = jax.jit(rc._multiply_relinearize_fn,
+                in_shardings=(Ciphertext(s_ct, s_ct),
+                              Ciphertext(s_ct, s_ct),
+                              jax.tree.map(lambda _: rep, rlk)),
+                out_shardings=Ciphertext(s_ct, s_ct))
+    got = f(ct1, ct2, rlk)
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
