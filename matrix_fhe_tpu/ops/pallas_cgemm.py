@@ -43,10 +43,18 @@ def _cgemm_kernel(arl_ref, arh_ref, ail_ref, aih_ref,
                   crl_ref, crh_ref, cil_ref, cih_ref,
                   *, wb: int, n: int, chunks_d: int, chunks_t: int,
                   bits: int):
+    import os as _os
+    _abl = _os.environ.get("MFHE_CGEMM_ABLATE", "")
     ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
     qil, qih = sc_ref[0, 0, 2], sc_ref[0, 0, 4]
     qi28 = sc_ref[0, 0, 3]
     rows = wb * n
+    if _abl == "io":
+        crl_ref[0] = arl_ref[0]
+        crh_ref[0] = arh_ref[0]
+        cil_ref[0] = brl_ref[0]
+        cih_ref[0] = brh_ref[0]
+        return
     # every phase except the dots is elementwise: run them LANE-MERGED on
     # [wb*n, n] views (per-lane [64, 64] op streams replicate each vector
     # instruction wb times); the dots slice per-lane rows out of the merged
@@ -78,8 +86,24 @@ def _cgemm_kernel(arl_ref, arh_ref, ail_ref, aih_ref,
                 pieces[c].append(d.astype(jnp.int8))
         return [jnp.concatenate(p, axis=1) for p in pieces]
 
+    if _abl == "acat":
+        z = (acat_r.astype(jnp.int32)[:, :n] + acat_i.astype(jnp.int32)[:, :n]
+             ).astype(jnp.uint32).reshape(wb, n, n)
+        crl_ref[0] = z
+        crh_ref[0] = z
+        cil_ref[0] = z
+        cih_ref[0] = z
+        return
     tbr = bcat(brl_ref[0].reshape(rows, n), brh_ref[0].reshape(rows, n))
     tbi = bcat(bil_ref[0].reshape(rows, n), bih_ref[0].reshape(rows, n))
+    if _abl == "bprep":
+        z = (tbr[0].astype(jnp.int32)[:, :n] + tbi[0].astype(jnp.int32)[:, :n]
+             ).astype(jnp.uint32).reshape(wb, n, n)
+        crl_ref[0] = z
+        crh_ref[0] = z
+        cil_ref[0] = z
+        cih_ref[0] = z
+        return
 
     def gemm(acat, tb):
         # per-lane dots (each lane contracts against its own B table),
@@ -96,6 +120,13 @@ def _cgemm_kernel(arl_ref, arh_ref, ail_ref, aih_ref,
                             diag_bound=chunks_d * n * 127 * 127,
                             bits=bits)
 
+    if _abl == "dots1":
+        rr_h, rr_l = gemm(acat_r, tbr)
+        crl_ref[0] = rr_l.reshape(wb, n, n)
+        crh_ref[0] = rr_h.reshape(wb, n, n)
+        cil_ref[0] = rr_l.reshape(wb, n, n)
+        cih_ref[0] = rr_h.reshape(wb, n, n)
+        return
     rr_h, rr_l = gemm(acat_r, tbr)     # Ar @ Br
     ii_h, ii_l = gemm(acat_i, tbi)     # Ai @ Bi
     ri_h, ri_l = gemm(acat_r, tbi)     # Ar @ Bi
