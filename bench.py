@@ -120,11 +120,16 @@ def main():
             dr, di = ctx.roundtrip(rej, imj, sk)
             _ = jax.device_get(dr[:1, :1, :1])
             t_first = time.time() - t0
+            # measure the tunnel readback fence in situ (ADVICE r2: no
+            # hardcoded fudge) on the already-computed output
+            t0 = time.perf_counter()
+            _ = jax.device_get(dr[:1, :1, :1])
+            fence_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             for _ in range(5):  # amortize tunnel dispatch + the one fence
                 dr, di = ctx.roundtrip(rej, imj, sk)
             _ = jax.device_get(dr[:1, :1, :1])
-            rt_ms = (time.perf_counter() - t0 - 0.03) / 5 * 1e3
+            rt_ms = (time.perf_counter() - t0 - fence_s) / 5 * 1e3
             err = float(np.hypot(np.asarray(dr) - re,
                                  np.asarray(di) - im).max())
             assert err < 1e-4, f"ref pipeline err {err} >= 1e-4"

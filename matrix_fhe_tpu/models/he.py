@@ -266,8 +266,11 @@ class HEContext:
         cached = getattr(self, name, None)
         if cached is not None:
             return cached
-        from jax._src.core import trace_state_clean
-        if not trace_state_clean():
+        try:  # private API; moves between JAX versions (ADVICE r2)
+            from jax._src.core import trace_state_clean
+        except ImportError:  # pragma: no cover - version drift fallback
+            trace_state_clean = None
+        if trace_state_clean is None or not trace_state_clean():
             return build()
         val = jax.block_until_ready(jax.jit(build)())
         setattr(self, name, val)

@@ -97,6 +97,14 @@ class RelinContext:
             cur.append(l)
             prod *= q
         groups.append(tuple(cur))
+        for g in groups:  # noise guarantee: P must exceed each group product
+            gp = 1
+            for l in g:
+                gp *= self.q_moduli[l]
+            if gp >= self.big_p:
+                raise ValueError(
+                    f"key-switch group product {gp} >= P {self.big_p}; "
+                    "supply a larger p_moduli basis")
         self.groups = groups
         self.dnum = len(groups)
         # extended transform context over QP

@@ -540,6 +540,8 @@ class PallasNttMulNtt:
 
     def __call__(self, d_lo, d_hi, s_lo, s_hi):
         rows = d_lo.shape[1]
+        if rows % self.rep:
+            raise ValueError(f"rows {rows} not a multiple of rep {self.rep}")
         tile = min(self.row_tile, rows)
         while rows % tile or tile % self.rep:
             tile -= self.rep
@@ -1699,6 +1701,8 @@ class SlicedNttMulNtt:
         """s as the u32 pair of s_mont (s * 2^64 mod q, SecretKey storage
         form) — drop-in for PallasNttMulNtt."""
         rows = d_lo.shape[1]
+        if rows % self.rep:
+            raise ValueError(f"rows {rows} not a multiple of rep {self.rep}")
         tile = min(self.row_tile, rows)
         while rows % tile or tile % self.rep:
             tile -= self.rep
@@ -1785,7 +1789,7 @@ class SlicedFourStepNTT:
         sides = ("left", "right") if fwd else ("right", "left")
         cA = self.chunks_d
         bits = max(int(q).bit_length() for q in p.moduli)
-        bb = int(os.environ.get("MFHE_SLICED_BB", "1"))
+        bb = max(1, int(os.environ.get("MFHE_SLICED_BB", "1")))
         while B % bb:
             bb //= 2
         kern = functools.partial(

@@ -1,7 +1,8 @@
 """Sharded end-to-end HE pipelines.
 
 Data parallel (dp) over a batch of packed messages/ciphertexts plus tensor
-parallel (tp) over the W lane axis: arrays are annotated with NamedSharding
+parallel (tp) over the matrix-row (y) axis: arrays are annotated with
+NamedSharding
 and the whole encode->encrypt->decrypt->decode step runs under one jit — XLA
 inserts the ICI collectives implied by the W-contracting matmuls (scaling-
 book recipe: pick a mesh, annotate shardings, let the compiler place
@@ -23,7 +24,10 @@ class ShardedPipeline:
     """Batched, mesh-sharded roundtrip for one HEContext.
 
     Message batches are [B, W, n, n] float64 pairs: B is sharded over 'dp',
-    the W lane axis over 'tp'; the secret key is replicated.
+    the matrix-row (y) axis over 'tp' (P("dp", None, "tp", None) /
+    P("dp", None, None, "tp", None) for packed RNS tensors — the W axis is
+    replicated so the W-contracting matmuls need no collective); the secret
+    key is replicated.
     """
 
     def __init__(self, ctx: HEContext, mesh: Mesh):
