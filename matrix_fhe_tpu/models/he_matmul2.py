@@ -1,0 +1,345 @@
+"""Ciphertext-in / ciphertext-out homomorphic GEMM (gl2 double ring).
+
+Round 2's `he_matmul` computes the trace-GEMM tensor in the folded GL ring,
+where the output (E0, E1L, E1R, E2) can only be opened by a two-sided
+secret-key action — the folded ring admits no key switching
+(keyswitch.py:70-77).  In the integral double form D = Z[X]/(X^{2n}+1)
+(models/he2.py) the whole op becomes standard:
+
+  1. sigma = full complex conjugation = the ring automorphism
+     (W -> W^-1, Y -> Y^-1, X -> X^-1) of the packing ring
+     Z[W]/Phi_p (x) Z[Y,X]/(Y^n - X^n, X^{2n}+1): a lane flip + an exact
+     integer coefficient permutation-with-signs (no per-limb i_q constants).
+  2. The trace contraction over the Y factor is bilinear in coefficients:
+     T = Tr_Y(sigma(mY) (.)_Y mX) lives in the 2D tensor ring
+     D_{X1} (x) D_{X2}, computed as one modular GEMM per (limb, lane):
+     T[x1,x2] = n * sum_y RY(u)[y,x1] * TW(v)[y,x2]  with RY the Y-index
+     reversal and TW the Y^n = X^n wrap twist (the analog of
+     map_Bprime_Xinv_twist_kernel + trace_gemm, trace.cu:30-131 — but on
+     ciphertext components).
+  3. Component keys: T = E00 + E01*(1(x)s) + E10*(ss(x)1) + E11*(ss(x)s),
+     ss = sigma(s).  The 2D tensor ring is an honest integral negacyclic^2
+     ring, so RNS-hybrid key switching applies verbatim: two switch keys
+     (targets ss(x)1 and ss(x)s, both ENCRYPTED UNDER 1(x)s) relinearize it
+     to a rank-1 pair (B, A) with B + A*(1(x)s) = T.
+  4. Repack: the ring map rho: D_{X1} (x) D_{X2} -> packing ring, X1 |-> Y
+     (valid since Y^{2n} = (X^n)^2 = -1) folds row y+n onto row y with an
+     X^n twist — a 2-term integer add, no transform.  rho commutes with
+     (1(x)s), so (rho B, rho A) is a STANDARD gl2 ciphertext of C = Y^H X:
+     decrypt with the plain secret key, decode with Delta^2, and keep
+     computing on it (it composes with multiply/relinearize/rescale).
+
+The reference's trace kernels are plaintext-only and never run
+(SURVEY §2.13); this closes the round-2 verdict's capability frontier
+(VERDICT r2, Next #2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import modmath as mm
+from .he_matmul import conj_flip_perm
+from .he2 import Ciphertext2, Gl2Context, SecretKey2
+from .keyswitch import RelinContext
+
+U64 = jnp.uint64
+
+
+class GemmTensor2(NamedTuple):
+    """2D tensor-ring components [L, W, 2n, 2n] (W-eval, X1/X2-coeff);
+    keys (1, 1(x)s, ss(x)1, ss(x)s)."""
+    e00: jnp.ndarray
+    e01: jnp.ndarray
+    e10: jnp.ndarray
+    e11: jnp.ndarray
+
+
+class GemmRelinKey(NamedTuple):
+    """Per-digit switch keys over QP, (W-eval, 2D X-NTT) Montgomery form:
+    k1 encrypts g_i * (sigma(s) (x) 1), k2 encrypts g_i * (sigma(s) (x) s),
+    both under (1 (x) s)."""
+    b1: Tuple[jnp.ndarray, ...]
+    a1: Tuple[jnp.ndarray, ...]
+    b2: Tuple[jnp.ndarray, ...]
+    a2: Tuple[jnp.ndarray, ...]
+
+
+def _sigma_index_maps(n: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather indices + sign for the coefficient action of
+    (Y -> Y^-1, X -> X^-1) on a [y, x] frame (y-dim n, x-dim 2n):
+    out[y', x'] = sign[y', x'] * z[YI[y', x'], XI[y', x']].
+
+    Monomial algebra (Y^n = X^n, X^{2n} = -1):
+      Y^{-y} = -Y^{n-y} X^n (y >= 1);  X^{-x} = -X^{2n-x} (x >= 1).
+    """
+    m = 2 * n
+    YI = np.zeros((n, m), dtype=np.int32)
+    XI = np.zeros((n, m), dtype=np.int32)
+    SG = np.zeros((n, m), dtype=np.int8)
+    for yp in range(n):
+        for xp in range(m):
+            if yp == 0:
+                y = 0
+                if xp == 0:
+                    x, s = 0, 1
+                else:
+                    x, s = m - xp, -1
+            else:
+                y = n - yp
+                if xp == n:
+                    x, s = 0, -1
+                elif xp < n:
+                    x, s = n - xp, -1       # x in [1, n]
+                else:
+                    x, s = 3 * n - xp, 1    # x in (n, 2n)
+            YI[yp, xp] = y
+            XI[yp, xp] = x
+            SG[yp, xp] = s
+    return YI, XI, SG
+
+
+def _shift_xn(z: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Multiply by X^n along the trailing axis (wrap X^{2n} = -1)."""
+    m = z.shape[-1]
+    n = m // 2
+    rolled = jnp.roll(z, n, axis=-1)
+    x = jnp.arange(m) < n
+    return jnp.where(x, mm.neg_mod(rolled, q), rolled)
+
+
+class HEMatmul2:
+    """Homomorphic C = Y^H @ X per packed lane, ciphertext in / out."""
+
+    def __init__(self, ctx: Gl2Context):
+        self.ctx = ctx
+        p = ctx.params
+        self.n = p.n
+        self.m = 2 * p.n
+        self._flip = jnp.asarray(conj_flip_perm(p))
+        YI, XI, SG = _sigma_index_maps(p.n)
+        self._sYI = jnp.asarray(YI)
+        self._sXI = jnp.asarray(XI)
+        self._sNEG = jnp.asarray(SG < 0)
+        # y-reversal for the trace pairing
+        self._ry = jnp.asarray((-np.arange(p.n)) % p.n)
+        # chunked modular GEMM constants: n * 2^{8c} * 2^64 mod q (one
+        # mont_mul folds chunk scale, the trace's n factor, and reduction)
+        bits = p.max_modulus_bits
+        self.n_chunks = -(-bits // 8)
+        fold = np.empty((self.n_chunks, p.num_limbs), dtype=np.uint64)
+        for c in range(self.n_chunks):
+            for l, q in enumerate(p.moduli):
+                fold[c, l] = (p.n << (8 * c)) % int(q) * ((1 << 64) % int(q)
+                                                          ) % int(q)
+        self._fold = jnp.asarray(fold)
+
+    # -- component maps ------------------------------------------------------
+
+    def _sigma(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Full conjugation on a component [L, W, y, x]: W-lane flip +
+        (Y -> Y^-1, X -> X^-1) coefficient gather."""
+        q = self.ctx._c4["q"]
+        zf = jnp.take(z, self._flip, axis=1)
+        g = zf[:, :, self._sYI, self._sXI]
+        return jnp.where(self._sNEG, mm.neg_mod(g, q), g)
+
+    def _tw(self, z: jnp.ndarray) -> jnp.ndarray:
+        """TW: X^n twist on Y-rows >= 1 (the Y^n = X^n wrap of the trace
+        pairing), identity on row 0."""
+        q = self.ctx._c4["q"]
+        sh = _shift_xn(z, q)
+        row0 = jnp.arange(self.n).reshape(1, 1, -1, 1) == 0
+        return jnp.where(row0, z, sh)
+
+    def _ry_map(self, z: jnp.ndarray) -> jnp.ndarray:
+        return jnp.take(z, self._ry, axis=2)
+
+    def _mod_gemm(self, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        """E[l,w,x1,x2] = n * sum_y u[l,w,y,x1] * v[l,w,y,x2] mod q_l.
+        8-bit chunks of u keep every u64 partial sum exact
+        (2^8 * q * n < 2^64 for q < 2^50, n <= 64)."""
+        c = self.ctx._c4
+        acc = None
+        for ci in range(self.n_chunks):
+            uc = (u >> U64(8 * ci)) & U64(0xFF)
+            part = jnp.einsum("lwya,lwyb->lwab", uc, v)
+            fold = self._fold[ci].reshape(-1, 1, 1, 1)
+            term = mm.mont_mul(part, fold, c["q"], c["qinv_neg"])
+            acc = term if acc is None else mm.add_mod(acc, term, c["q"])
+        return acc
+
+    # -- the tensor op -------------------------------------------------------
+
+    def tensor_fn(self, ctX: Ciphertext2, ctY: Ciphertext2) -> GemmTensor2:
+        sy_b = self._ry_map(self._sigma(ctY.b))
+        sy_a = self._ry_map(self._sigma(ctY.a))
+        x_b = self._tw(ctX.b)
+        x_a = self._tw(ctX.a)
+        return GemmTensor2(
+            e00=self._mod_gemm(sy_b, x_b),
+            e01=self._mod_gemm(sy_b, x_a),
+            e10=self._mod_gemm(sy_a, x_b),
+            e11=self._mod_gemm(sy_a, x_a),
+        )
+
+    # -- secret-side identities (tests / debugging) --------------------------
+
+    def _sigma_s_mont(self, sk: SecretKey2) -> jnp.ndarray:
+        """sigma(s) in (W-eval, X-NTT) Montgomery form over Q: lane flip +
+        NTT slot reversal (slot k evals at psi^{2k+1}; negating the
+        exponent maps k -> 2n-1-k)."""
+        return jnp.take(sk.s_mont, self._flip, axis=1)[:, :, ::-1]
+
+    def _mul_x2(self, z, s_mont):
+        return self.ctx.xntt.mul_s(z, s_mont)
+
+    def _mul_x1(self, z, s_mont):
+        t = self.ctx.xntt.mul_s(jnp.swapaxes(z, -1, -2), s_mont)
+        return jnp.swapaxes(t, -1, -2)
+
+    def decrypt_tensor_fn(self, tt: GemmTensor2, sk: SecretKey2
+                          ) -> jnp.ndarray:
+        """Two-sided opening of the raw tensor (the gl2 analog of
+        he_matmul.decrypt_fn) + rho repack -> packed plaintext
+        [L, W, n, 2n].  Reference point for the key-switched path."""
+        q = self.ctx._c4["q"]
+        ss = self._sigma_s_mont(sk)
+        top = mm.add_mod(tt.e00, self._mul_x2(tt.e01, sk.s_mont), q)
+        bot = mm.add_mod(tt.e10, self._mul_x2(tt.e11, sk.s_mont), q)
+        t = mm.add_mod(top, self._mul_x1(bot, ss), q)
+        return self.repack_fn(t)
+
+    # -- repack --------------------------------------------------------------
+
+    def repack_fn(self, t: jnp.ndarray) -> jnp.ndarray:
+        """rho: [L, W, 2n, 2n] tensor-ring element -> [L, W, n, 2n] packed
+        frame: X1 |-> Y, row y+n folds onto row y with an X^n twist."""
+        q = self.ctx._c4["q"]
+        lo, hi = t[:, :, :self.n], t[:, :, self.n:]
+        return mm.add_mod(lo, _shift_xn(hi, q), q)
+
+    @functools.cached_property
+    def _tensor_jit(self):
+        return jax.jit(self.tensor_fn)
+
+    def matmul_tensor(self, ctX: Ciphertext2, ctY: Ciphertext2
+                      ) -> GemmTensor2:
+        return self._tensor_jit(ctX, ctY)
+
+
+class Gl2GemmRelin:
+    """Switch keys + relinearization for GemmTensor2 -> standard gl2
+    ciphertext.  Reuses RelinContext's gadget / base-conversion / ModDown
+    (models/keyswitch.py) over the 2D tensor ring."""
+
+    def __init__(self, hm: HEMatmul2, rc: RelinContext | None = None):
+        self.hm = hm
+        self.ctx = hm.ctx
+        self.rc = rc or RelinContext(hm.ctx)
+
+    # -- 2D transforms -------------------------------------------------------
+
+    def _ntt2d(self, z, xntt):
+        t = xntt.forward(z)
+        return jnp.swapaxes(xntt.forward(jnp.swapaxes(t, -1, -2)), -1, -2)
+
+    def _intt2d(self, z, xntt):
+        t = xntt.inverse(z)
+        return jnp.swapaxes(xntt.inverse(jnp.swapaxes(t, -1, -2)), -1, -2)
+
+    # -- key generation ------------------------------------------------------
+
+    def gen_keys(self, sk: SecretKey2, key: jax.Array) -> GemmRelinKey:
+        rc = self.rc
+        cqp = rc._cqp
+        q, qi, r2 = cqp["q"], cqp["qinv_neg"], cqp["r2"]
+        # s and sigma(s) lifted over QP in (W-eval, X-NTT)
+        s_res = Gl2Context._ternary_residues(sk.s_sign,
+                                             self.ctx.params.moduli)
+        s_hat = rc._lift_ternary(s_res)                     # [Lqp, W, 2n]
+        ss_hat = jnp.take(s_hat, self.hm._flip, axis=1)[:, :, ::-1]
+        ss_mont = mm.to_mont(ss_hat, q[..., 0], qi[..., 0], r2[..., 0])
+        # NTT-domain targets on the [x1, x2] grid
+        W, m = s_hat.shape[1], s_hat.shape[2]
+        Lqp = s_hat.shape[0]
+        t1 = jnp.broadcast_to(ss_hat[:, :, :, None], (Lqp, W, m, m))
+        t2 = mm.mont_mul(ss_mont[:, :, :, None],
+                         jnp.broadcast_to(s_hat[:, :, None, :],
+                                          (Lqp, W, m, m)),
+                         q, qi)
+        from . import rng as refrng
+        frame = (W, m, m)
+        outs = {"b1": [], "a1": [], "b2": [], "a2": []}
+        for target, bk, ak in ((t1, "b1", "a1"), (t2, "b2", "a2")):
+            for i in range(rc.dnum):
+                key, ka, ke = jax.random.split(key, 3)
+                a = refrng.fresh_uniform_a(ka, rc.ext_params, shape=frame)
+                e = refrng.fresh_gaussian_noise(ke, rc.ext_params,
+                                                shape=frame)
+                a_hat = self._ntt2d(a, rc.xntt_qp)
+                e_hat = self._ntt2d(rc.wt_qp.forward(e), rc.xntt_qp)
+                a_mont = mm.to_mont(a_hat, q, qi, r2)
+                a_s = mm.mont_mul(a_mont, s_hat[:, :, None, :], q, qi)
+                g = jnp.asarray(rc._g_consts[i].reshape(-1, 1, 1, 1))
+                g_mont = mm.to_mont(g, q, qi, r2)
+                gt = mm.mont_mul(g_mont, target, q, qi)
+                b = mm.add_mod(mm.sub_mod(e_hat, a_s, q), gt, q)
+                outs[bk].append(mm.to_mont(b, q, qi, r2))
+                outs[ak].append(a_mont)
+        return GemmRelinKey(b1=tuple(outs["b1"]), a1=tuple(outs["a1"]),
+                            b2=tuple(outs["b2"]), a2=tuple(outs["a2"]))
+
+    # -- relinearize + repack ------------------------------------------------
+
+    def relinearize_fn(self, tt: GemmTensor2, ks: GemmRelinKey
+                       ) -> Ciphertext2:
+        rc = self.rc
+        ctx = self.ctx
+        cqp = rc._cqp
+        q, qi = cqp["q"], cqp["qinv_neg"]
+        cq = rc._cq
+        wc10 = ctx.wt.inverse(tt.e10)
+        wc11 = ctx.wt.inverse(tt.e11)
+        accs = [None] * 4   # u0, u1, v0, v1 over QP, NTT domain
+        for i, g in enumerate(rc.groups):
+            gi = jnp.asarray(list(g))
+            for src, b_k, a_k, o0, o1 in ((wc10, ks.b1, ks.a1, 0, 1),
+                                          (wc11, ks.b2, ks.a2, 2, 3)):
+                digit = rc._extenders[i].extend(src[gi])
+                hat = self._ntt2d(rc.wt_qp.forward(digit), rc.xntt_qp)
+                tb = mm.mont_mul(hat, b_k[i], q, qi)
+                ta = mm.mont_mul(hat, a_k[i], q, qi)
+                accs[o0] = tb if accs[o0] is None else mm.add_mod(
+                    accs[o0], tb, q)
+                accs[o1] = ta if accs[o1] is None else mm.add_mod(
+                    accs[o1], ta, q)
+        outs = []
+        for acc in accs:
+            c = rc.wt_qp.inverse(self._intt2d(acc, rc.xntt_qp))
+            outs.append(ctx.wt.forward(rc._mod_down(c)))
+        u0, u1, v0, v1 = outs
+        b2d = mm.add_mod(tt.e00, mm.add_mod(u0, v0, cq["q"]), cq["q"])
+        a2d = mm.add_mod(tt.e01, mm.add_mod(u1, v1, cq["q"]), cq["q"])
+        return Ciphertext2(b=self.hm.repack_fn(b2d),
+                           a=self.hm.repack_fn(a2d))
+
+    @functools.cached_property
+    def _relin_jit(self):
+        return jax.jit(self.relinearize_fn)
+
+    def relinearize(self, tt: GemmTensor2, ks: GemmRelinKey) -> Ciphertext2:
+        return self._relin_jit(tt, ks)
+
+    # -- the headline op -----------------------------------------------------
+
+    def matmul(self, ctX: Ciphertext2, ctY: Ciphertext2, ks: GemmRelinKey
+               ) -> Ciphertext2:
+        """encrypt(X), encrypt(Y) -> standard ciphertext of Y^H X (per
+        lane), Delta^2-scaled: decode with delta_override=Delta^2."""
+        return self.relinearize(self.hm.matmul_tensor(ctX, ctY), ks)

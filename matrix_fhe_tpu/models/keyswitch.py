@@ -67,14 +67,16 @@ class RelinContext:
 
     def __init__(self, ctx: HEContext,
                  p_moduli: Optional[Sequence[int]] = None):
-        if ctx.ring != "nega":
-            # The GL ring wraps X-convolutions by i_q — a DIFFERENT integer
-            # per modulus — so no global integer ring underlies the limb
-            # arrays and the ModDown slop times s is not limb-consistent
+        if ctx.ring not in ("nega", "gl2"):
+            # The folded GL ring wraps X-convolutions by i_q — a DIFFERENT
+            # integer per modulus — so no global integer ring underlies the
+            # limb arrays and the ModDown slop times s is not limb-consistent
             # (measured: decode-scale garbage).  The negacyclic production
             # ring (X^n = -1, the reference's kDbgUsePhantomXY=true default)
-            # has an integer wrap and admits standard key switching.
-            raise ValueError("relinearization requires ring='nega'")
+            # has an integer wrap and admits standard key switching — and so
+            # does "gl2", the GL ring's integral double form X^{2n}+1
+            # (models/he2.py), which is how GL-packed data gets key switching.
+            raise ValueError("relinearization requires ring='nega' or 'gl2'")
         self.ctx = ctx
         p = ctx.params
         self.q_moduli = tuple(int(q) for q in p.moduli)
@@ -144,6 +146,10 @@ class RelinContext:
                                           shape_suffix=(1, 1, 1))
         self._cq = mm.mont_consts_arrays(self.q_moduli,
                                          shape_suffix=(1, 1, 1))
+        # ciphertext frame [W, y_dim, x_dim]: square for "nega"; the gl2
+        # ring doubles the X axis (models/he2.py)
+        self.y_dim = p.n
+        self.x_dim = getattr(ctx, "m", p.n)
 
     # -- key generation ------------------------------------------------------
 
@@ -183,10 +189,11 @@ class RelinContext:
         if target_hat.ndim == 3:
             target_hat = target_hat[:, :, None, :]
         bs, as_ = [], []
+        frame = (self.ext_params.phi, self.y_dim, self.x_dim)
         for i in range(self.dnum):
             key, ka, ke = jax.random.split(key, 3)
-            a = refrng.fresh_uniform_a(ka, self.ext_params)  # [Lqp, W, n, n]
-            e = refrng.fresh_gaussian_noise(ke, self.ext_params)
+            a = refrng.fresh_uniform_a(ka, self.ext_params, shape=frame)
+            e = refrng.fresh_gaussian_noise(ke, self.ext_params, shape=frame)
             a_hat = self.xntt_qp.forward(a)
             # noise must be small in the (W-coeff, X-coeff) INTEGER domain:
             # W-CRT it like encrypt does (HE.cu:1516-1519)

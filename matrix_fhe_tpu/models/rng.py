@@ -200,10 +200,15 @@ def llround(z: jnp.ndarray) -> jnp.ndarray:
 # Production path: proper counter-based PRNG (threefry) for real key material
 # ---------------------------------------------------------------------------
 
-def fresh_uniform_a(key: jax.Array, params: GLParams) -> jnp.ndarray:
+def fresh_uniform_a(key: jax.Array, params: GLParams,
+                    shape: tuple | None = None) -> jnp.ndarray:
+    """shape: trailing (per-limb) dims; default (W, n, n).  Rectangular
+    frames (e.g. the gl2 ring's [W, n, 2n] / 2D-tensor [W, 2n, 2n]) pass
+    it explicitly."""
     L, W, n = params.num_limbs, params.phi, params.n
-    bits = jax.random.bits(key, (L, W, n, n), dtype=jnp.uint64)
-    return bits % _moduli_col(params, 3)  # negligible bias for q << 2^64
+    shape = (W, n, n) if shape is None else tuple(shape)
+    bits = jax.random.bits(key, (L,) + shape, dtype=jnp.uint64)
+    return bits % _moduli_col(params, len(shape))  # negligible bias, q << 2^64
 
 
 def fresh_ternary_secret(key: jax.Array, params: GLParams) -> jnp.ndarray:
@@ -215,10 +220,14 @@ def fresh_ternary_secret(key: jax.Array, params: GLParams) -> jnp.ndarray:
                      jnp.where(r == 1, jnp.ones((), U64), q - np.uint64(1)))
 
 
-def fresh_gaussian_noise(key: jax.Array, params: GLParams) -> jnp.ndarray:
+def fresh_gaussian_noise(key: jax.Array, params: GLParams,
+                         shape: tuple | None = None) -> jnp.ndarray:
+    """shape: trailing (per-limb) dims; default (W, n, n).  The same
+    integer lands in every limb (limb-consistent small ring element)."""
     W, n = params.phi, params.n
-    z = jax.random.normal(key, (W, n, n), dtype=jnp.float64) * params.sigma
+    shape = (W, n, n) if shape is None else tuple(shape)
+    z = jax.random.normal(key, shape, dtype=jnp.float64) * params.sigma
     noise = llround(z)
-    q = _moduli_col(params, 3)
+    q = _moduli_col(params, len(shape))
     return jnp.where(noise[None] >= 0, noise[None].astype(U64),
                      q - (-noise)[None].astype(U64))

@@ -29,6 +29,10 @@ from .modmatmul import BatchedModTransform
 
 RING_NEGACYCLIC = "nega"  # X^n + 1 (production / phantom parity ring)
 RING_GL = "gl"            # X^n = psi4n^n (= +-i) GL twist ring
+RING_GL2 = "gl2"          # the GL ring's integral double form X^{2n} + 1
+#   (Z[i][X]/(X^n - i) ~= Z[X]/(X^{2n}+1) via i = X^n; tables.py
+#   build_gl2_x_tables) — same algebra as "gl" but with one global integer
+#   coefficient ring, so key switching / FBC apply (keyswitch.py:70-77).
 
 
 class XNTT:
@@ -47,6 +51,9 @@ class XNTT:
             fwd, inv = t.x_fwd_nega, t.x_inv_nega
         elif ring == RING_GL:
             fwd, inv = t.x_fwd_gl, t.x_inv_gl
+        elif ring == RING_GL2:
+            from ..tables import build_gl2_x_tables
+            fwd, inv = build_gl2_x_tables(t)
         else:
             raise ValueError(f"unknown ring {ring!r}")
         self._fwd = BatchedModTransform(fwd, params.moduli, side="right")
@@ -63,7 +70,7 @@ class XNTT:
             # n < 128 wastes half of every (8,128) vreg in the fold and half
             # the MXU contraction lanes; pack `pack` adjacent polynomials
             # side by side (a free reshape) against block-diagonal tables
-            n = params.n
+            n = int(fwd.shape[-1])  # transform dim (2n for ring="gl2")
             self._pack = max(1, 128 // n)
             if self._pack > 1:
                 eye = np.eye(self._pack, dtype=np.uint64)
@@ -163,8 +170,8 @@ class XNTT:
         """The X^n wraparound constant of this ring mod q_limb: q-1 for
         negacyclic, psi4n^n for GL (test_custom_ntt_roundtrip.cu:260-261)."""
         q = int(self.params.moduli[limb])
-        if self.ring == RING_NEGACYCLIC:
-            return q - 1
+        if self.ring in (RING_NEGACYCLIC, RING_GL2):
+            return q - 1  # gl2: X^{2n} = -1 (double-degree negacyclic)
         t = build_tables(self.params)
         return pow(t.psi4n[limb], self.params.n, q)
 

@@ -323,3 +323,46 @@ def _native_builder():
         return tablegen if tablegen.available() else None
     except Exception:
         return None
+
+
+def build_gl2_x_tables(tables: GLTables) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense transform tables for the DOUBLE ring D = Z[X]/(X^{2n} + 1).
+
+    Central identity (this framework's, no reference counterpart): the GL
+    ring Z[i][X]/(X^n - i) the reference builds per limb with a modular
+    wrap constant i_q (ntt_core.cu:175-198) is isomorphic over the INTEGERS
+    to the negacyclic ring of doubled degree,
+
+        Z[i][X]/(X^n - i)  ~=  Z[X]/(X^{2n} + 1),   i |-> X^n,
+
+    (a + b*i coefficients land in slots j and n+j).  Unlike the folded
+    per-limb picture, the right-hand side has one global integer coefficient
+    ring, so RNS digit decomposition / ModDown — i.e. key switching — is
+    valid (the obstruction found in round 2: keyswitch.py:70-77).
+
+    The dim-2n negacyclic NTT needs a primitive 4n-th root: exactly the
+    psi_4n the GL twist already requires (config.h's q = 1 mod lcm(4n, p)
+    guarantee), so every preset supports it with no new prime constraints.
+
+    Returns (fwd, inv): [L, 2n, 2n] uint64, out = T @ in convention, slot k
+    evaluating at psi4n^(2k+1).
+    """
+    params = tables.params
+    n = params.n
+    m = 2 * n
+    L = len(params.moduli)
+    fwd = np.empty((L, m, m), dtype=np.uint64)
+    inv = np.empty((L, m, m), dtype=np.uint64)
+    for l, q in enumerate(params.moduli):
+        q = int(q)
+        psi = int(tables.psi4n[l])          # order 4n = 2m: negacyclic twist
+        omega = psi * psi % q               # order m: cyclic twiddle
+        m_inv = pow(m, q - 2, q)
+        om = [pow(omega, k, q) for k in range(m)]
+        ps = [pow(psi, x, q) for x in range(m)]
+        psi_inv = [pow(x, q - 2, q) for x in ps]
+        for k in range(m):
+            for x in range(m):
+                fwd[l, k, x] = ps[x] * om[(k * x) % m] % q
+                inv[l, x, k] = m_inv * psi_inv[x] % q * om[(-k * x) % m] % q
+    return fwd, inv
