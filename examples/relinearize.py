@@ -12,9 +12,16 @@ Run:  python examples/relinearize.py [preset]     (default "mid")
 "mid" = the reference geometry (n=64, phi=512) with a 4-limb chain;
 measured on one v5e: steady-state multiply+relinearize 117.6 ms,
 relinearization noise max 449 = 1.3e-8 * Delta.
-The full 11-limb "ref" chain needs ~7.5 GB of relin keys plus QP-limb
-transients - beyond one 16 GB chip alongside the ciphertexts; shard the
-dnum digit axis over a mesh for full-chain keys.
+
+The full 11-limb "ref" chain (dnum=4, ~1.9 GB of relin keys) runs via the
+STREAMED key switch (RelinContext.multiply_relinearize_streamed): one jit
+step per digit with donated accumulators caps peak HBM at keys + ONE
+[14, 512, 64, 64] digit transient (~235 MB) instead of all four, fitting a
+single 16 GB chip.  Memory model at ref: ct pair 0.74 GB + keys 1.88 GB +
+tensor/accumulators ~1.0 GB + digit transient ~0.7 GB ~= 4.4 GB peak.
+Multi-chip: the same op is bit-exact under W-lane or RNS-limb sharding
+(tests/test_keyswitch.py::test_multidigit_chain_sharded_and_streamed);
+limb sharding also distributes the key storage.
 """
 
 import os
@@ -64,14 +71,20 @@ def main():
     ct1 = ctx.encrypt(m1, sk)
     ct2 = ctx.encrypt(m2, sk)
 
+    # big chains stream the digit loop (bounded peak HBM; see docstring);
+    # small chains keep the fused single-jit graph
+    streamed = preset == "ref" or os.environ.get("MFHE_RELIN_STREAM") == "1"
+    mul = (rc.multiply_relinearize_streamed if streamed
+           else rc.multiply_relinearize)
+    print(f"[relin] path = {'streamed' if streamed else 'fused'}")
     t0 = time.time()
-    ct = rc.multiply_relinearize(ct1, ct2, rlk)
+    ct = mul(ct1, ct2, rlk)
     _ = jax.device_get(ct.b.ravel()[:1])
     print(f"[relin] multiply+relinearize {time.time()-t0:.1f}s "
           f"(first call incl. compile)")
     t0 = time.perf_counter()
     for _ in range(3):
-        ct = rc.multiply_relinearize(ct1, ct2, rlk)
+        ct = mul(ct1, ct2, rlk)
     _ = jax.device_get(ct.b.ravel()[:1])
     print(f"[relin] steady-state multiply+relinearize "
           f"{(time.perf_counter()-t0-0.03)/3*1e3:.1f} ms")

@@ -239,6 +239,72 @@ class RelinContext:
         ka = self.ctx.wt.forward(self._mod_down(ksa_c))
         return kb, ka
 
+    # -- streamed single-chip variant ---------------------------------------
+
+    @functools.lru_cache(maxsize=None)
+    def _digit_step_jit(self, i: int):
+        """One digit's extend -> QP transforms -> rlk products, accumulated
+        into donated (ksb, ksa) buffers.  Streaming the dnum digits through
+        separate jit steps caps peak HBM at keys + ONE digit transient —
+        the full 11-limb "ref" chain fits a single 16 GB chip this way
+        (examples/relinearize.py ref), where the fused graph did not."""
+        def step(d2_grp, rlk_b, rlk_a, ksb, ksa):
+            cqp = self._cqp
+            q, qi = cqp["q"], cqp["qinv_neg"]
+            digit = self._extenders[i].extend(d2_grp)
+            hat = self.xntt_qp.forward(self.wt_qp.forward(digit))
+            ksb = mm.add_mod(ksb, mm.mont_mul(hat, rlk_b, q, qi), q)
+            ksa = mm.add_mod(ksa, mm.mont_mul(hat, rlk_a, q, qi), q)
+            return ksb, ksa
+        return jax.jit(step, donate_argnums=(3, 4))
+
+    @functools.cached_property
+    def _mr_front_jit(self):
+        def front(ct1: Ciphertext, ct2: Ciphertext):
+            cq = self._cq
+            q, qi, r2 = cq["q"], cq["qinv_neg"], cq["r2"]
+            xn = self.ctx.xntt
+            b1 = xn.forward(ct1.b)
+            a1 = xn.forward(ct1.a)
+            b2 = xn.forward(ct2.b)
+            a2 = xn.forward(ct2.a)
+            b1m = mm.to_mont(b1, q, qi, r2)
+            a1m = mm.to_mont(a1, q, qi, r2)
+            d0c = xn.inverse(mm.mont_mul(b1m, b2, q, qi))
+            d1c = xn.inverse(mm.add_mod(mm.mont_mul(b1m, a2, q, qi),
+                                        mm.mont_mul(a1m, b2, q, qi), q))
+            d2wc = self.ctx.wt.inverse(xn.inverse(
+                mm.mont_mul(a1m, a2, q, qi)))
+            return d0c, d1c, d2wc
+        return jax.jit(front)
+
+    @functools.cached_property
+    def _mr_finish_jit(self):
+        def finish(d0c, d1c, ksb, ksa):
+            cq = self._cq
+            ksb_c = self.wt_qp.inverse(self.xntt_qp.inverse(ksb))
+            ksa_c = self.wt_qp.inverse(self.xntt_qp.inverse(ksa))
+            kb = self.ctx.wt.forward(self._mod_down(ksb_c))
+            ka = self.ctx.wt.forward(self._mod_down(ksa_c))
+            return Ciphertext(b=mm.add_mod(d0c, kb, cq["q"]),
+                              a=mm.add_mod(d1c, ka, cq["q"]))
+        return jax.jit(finish, donate_argnums=(2, 3))
+
+    def multiply_relinearize_streamed(self, ct1: Ciphertext, ct2: Ciphertext,
+                                      rlk: RelinKey) -> Ciphertext:
+        """multiply_relinearize with the digit loop streamed through
+        per-digit jit steps (same bits, bounded memory; see
+        _digit_step_jit).  Use for chains whose fused graph overflows one
+        chip — e.g. the full reference 11-limb chain."""
+        d0c, d1c, d2wc = self._mr_front_jit(ct1, ct2)
+        shape = (len(self.qp_moduli),) + tuple(d2wc.shape[1:])
+        ksb = jnp.zeros(shape, dtype=jnp.uint64)
+        ksa = jnp.zeros(shape, dtype=jnp.uint64)
+        for i, g in enumerate(self.groups):
+            ksb, ksa = self._digit_step_jit(i)(
+                d2wc[jnp.asarray(list(g))], rlk.b[i], rlk.a[i], ksb, ksa)
+        return self._mr_finish_jit(d0c, d1c, ksb, ksa)
+
     def _mod_down(self, y_qp: jnp.ndarray) -> jnp.ndarray:
         """round(y/P) mod Q, exact centered division by the P basis
         ((W-coeff, X-coeff) domain inputs)."""

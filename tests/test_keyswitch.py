@@ -269,3 +269,66 @@ def test_depth2_chain(setup, rng):
     # error ~ (rescale slop ~ nnz(s)) * |m3| + ks noise: m3 < 2^18 =>
     # bound ~ 2^18 * 64 * conv ~ 2^30; measure against a safe ceiling
     assert mag < 1 << 36, mag
+
+
+def test_streamed_matches_fused(setup, rng):
+    """multiply_relinearize_streamed (the bounded-memory per-digit path
+    for big chains) is bit-identical to the fused graph."""
+    p, ctx, rc, sk, rlk = setup
+    c = rng.integers(0, 1 << 14, size=(p.phi, p.n, p.n))
+    coeffs = jnp.asarray(np.stack(
+        [(c % int(q)).astype(np.uint64) for q in p.moduli]))
+    ct1 = ctx.encrypt(ctx.wt.forward(coeffs), sk)
+    ct2 = ctx.encrypt(ctx.wt.forward(coeffs), sk)
+    want = rc.multiply_relinearize(ct1, ct2, rlk)
+    got = rc.multiply_relinearize_streamed(ct1, ct2, rlk)
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+
+
+def test_multidigit_chain_sharded_and_streamed(rng):
+    """dnum >= 2 gadget (the ref chain's shape, VERDICT r2 Missing #3) at
+    the "small" preset: fused == streamed == W-sharded == QP-limb-sharded,
+    all bit-exact.  Limb sharding distributes the switch keys (the ref
+    chain's ~2 GB rlk) with zero communication until ModDown."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from matrix_fhe_tpu.models.he import Ciphertext
+    from matrix_fhe_tpu.parallel import mesh as meshlib
+
+    from matrix_fhe_tpu.config import generate_ntt_primes
+
+    p = get_params("small")
+    ctx = HEContext(p, ring="nega")
+    # explicit 4-prime P basis: Lqp = 8 divides the 4-way limb mesh
+    cand = [q for q in generate_ntt_primes(8, 34, p.n, p.p)
+            if q not in p.moduli]
+    rc = RelinContext(ctx, p_moduli=cand[:4])
+    assert rc.dnum >= 2, "preset no longer exercises a multi-digit gadget"
+    sk = ctx.generate_secret_key()
+    rlk = rc.gen_relin_key(
+        jnp.asarray(refrng.ternary_secret(p)), jax.random.key(5))
+    c = rng.integers(0, 1 << 14, size=(p.phi, p.n, p.n))
+    coeffs = jnp.asarray(np.stack(
+        [(c % int(q)).astype(np.uint64) for q in p.moduli]))
+    ct1 = ctx.encrypt(ctx.wt.forward(coeffs), sk)
+    ct2 = ctx.encrypt(ctx.wt.forward(coeffs), sk)
+
+    want = rc.multiply_relinearize(ct1, ct2, rlk)
+    got_s = rc.multiply_relinearize_streamed(ct1, ct2, rlk)
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got_s.b))
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got_s.a))
+
+    for name, spec in (("tp", P(None, "tp", None, None)),     # W lanes
+                       ("lp", P("lp", None, None, None))):    # RNS limbs
+        mesh = meshlib.make_mesh({name: 4})
+        s_ct = NamedSharding(mesh, spec)
+        s_key = NamedSharding(mesh, spec)
+        f = jax.jit(rc._multiply_relinearize_fn,
+                    in_shardings=(Ciphertext(s_ct, s_ct),
+                                  Ciphertext(s_ct, s_ct),
+                                  jax.tree.map(lambda _: s_key, rlk)),
+                    out_shardings=Ciphertext(s_ct, s_ct))
+        got = f(ct1, ct2, rlk)
+        np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+        np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
