@@ -233,6 +233,42 @@ class HEMatmul2:
         return self._tensor_jit(ctX, ctY)
 
 
+class Gl2Conj:
+    """Homomorphic complex conjugation of every packed value.
+
+    The joint automorphism sigma = (W -> W^-1, Y -> Y^-1, X -> X^-1) of
+    the packing ring, applied to ciphertext components + ONE key switch
+    from sigma(s) back to s.  NOTE sigma is NOT a composition of per-axis
+    maps: X -> X^-1 fixing Y fails the Y^n = X^n relation ((k-1)n must be
+    0 mod 4n, so X-only Galois indices are k = 1 mod 4 — the slot-rotation
+    orbit, XGaloisKeys), and Y -> Y^-1 fixing X fails it symmetrically.
+    Only the joint inversion is an automorphism."""
+
+    def __init__(self, hm: HEMatmul2, rc, sk: SecretKey2, key: jax.Array):
+        self.hm = hm
+        self.rc = rc
+        s_res = Gl2Context._ternary_residues(sk.s_sign,
+                                             hm.ctx.params.moduli)
+        s_hat = rc._lift_ternary(s_res)
+        ss_hat = jnp.take(s_hat, hm._flip, axis=1)[:, :, ::-1]
+        self._ksk = rc.gen_switch_key(ss_hat, s_res, key)
+
+    @functools.cached_property
+    def _apply_jit(self):
+        hm, rc = self.hm, self.rc
+
+        def f(ct: Ciphertext2, ksk):
+            q = rc._cq["q"]
+            tb = hm._sigma(ct.b)
+            ta = hm._sigma(ct.a)
+            kb, ka = rc.key_switch_d2(ta, ksk)
+            return Ciphertext2(b=mm.add_mod(tb, kb, q), a=ka)
+        return jax.jit(f)
+
+    def apply(self, ct: Ciphertext2) -> Ciphertext2:
+        return self._apply_jit(ct, self._ksk)
+
+
 class Gl2GemmRelin:
     """Switch keys + relinearization for GemmTensor2 -> standard gl2
     ciphertext.  Reuses RelinContext's gadget / base-conversion / ModDown

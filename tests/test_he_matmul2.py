@@ -151,3 +151,35 @@ def test_gemm_of_gemm_composes(setup, relin):
     D = np.conj(np.swapaxes(C, -1, -2)) @ C
     err = np.hypot(np.asarray(dr) - D.real, np.asarray(di) - D.imag).max()
     assert err / np.abs(D).max() < 0.05
+
+
+def test_gl2_x_slot_rotation_and_conjugation(setup):
+    """X-axis Galois on gl2 packing: tau_5 rotates each matrix's columns
+    (the X-slot 5-orbit); tau_{-1} + the W-lane flip is full homomorphic
+    complex conjugation of every packed value."""
+    from matrix_fhe_tpu.models.keyswitch import RelinContext, XGaloisKeys
+
+    p, ctx, hm, X, Y, C, mX, mY, sk, ctX, ctY = setup
+    rc = RelinContext(ctx)
+    s_res = np.asarray(jnp.asarray(
+        ctx._ternary_residues(sk.s_sign, p.moduli)))
+    xg = XGaloisKeys(rc, jnp.asarray(s_res), [5], jax.random.key(33))
+
+    # column rotation: new column j holds old column j+1 (X -> X^5 maps
+    # eval at zeta^{5^j} to the original's eval at zeta^{5^{j+1}})
+    ct_rot = xg.apply(ctX, 5)
+    dr, di = ctx.decrypt_and_decode(ct_rot, sk)
+    want = np.roll(X, -1, axis=-1)
+    err = np.hypot(np.asarray(dr) - want.real, np.asarray(di) - want.imag
+                   ).max()
+    assert err < 0.5
+
+    # full conjugation: the JOINT (W, Y, X)-inversion + one key switch
+    # (per-axis compositions are not automorphisms of Y^n = X^n — see
+    # Gl2Conj docstring)
+    from matrix_fhe_tpu.models.he_matmul2 import Gl2Conj
+    cj = Gl2Conj(hm, rc, sk, jax.random.key(34))
+    ct_c = cj.apply(ctX)
+    dr, di = ctx.decrypt_and_decode(ct_c, sk)
+    err = np.hypot(np.asarray(dr) - X.real, np.asarray(di) + X.imag).max()
+    assert err < 0.5
