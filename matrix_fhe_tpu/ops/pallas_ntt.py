@@ -1307,6 +1307,25 @@ def _tw_mul_lazy(vh, vl, twsl, twsh, qh, ql, qi32):
     return sh, sl
 
 
+def _sliced_tile(lo, hi, tA, tB, twl, twh, ql, qh, qi32, qi28, *,
+                 chunks_d: int, chunks_t: int, chunks_mid: int,
+                 sides: Tuple[str, str], k: int, bits: int):
+    """Both four-step stages + inter-stage twiddle on one [n1, n2] tile
+    (arrays in, arrays out — shared by the grid-pipelined and the
+    explicit-DMA kernels).  tA/tB are accessors chunk-index -> plane."""
+    axA = 0 if sides[0] == "left" else 1
+    dcat = _data_digits(lo, hi, chunks_d, axA)
+    diags = _sliced_dots(dcat, tA, chunks_t, sides[0])
+    vh, vl = _fold_redc28(diags, qh, ql, qi28,
+                          diag_bound=chunks_d * k * 127 * 127, bits=bits)
+    uh, ul = _tw_mul_lazy(vh, vl, twl, twh, qh, ql, qi32)
+    axB = 0 if sides[1] == "left" else 1
+    ucat = _data_digits(ul, uh, chunks_mid, axB)
+    diags2 = _sliced_dots(ucat, tB, chunks_t, sides[1])
+    return _fold_redc28(diags2, qh, ql, qi28,
+                        diag_bound=chunks_mid * k * 127 * 127, bits=bits)
+
+
 def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
                        sc_ref, olo_ref, ohi_ref,
                        *, chunks_d: int, chunks_t: int, chunks_mid: int,
@@ -1394,6 +1413,90 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
                               bits=bits)
         olo_ref[0, j] = rl
         ohi_ref[0, j] = rh
+
+
+def _sliced_dma_kernel(dlo_hbm, dhi_hbm, tA_ref, tB_ref, twl_ref, twh_ref,
+                       sc_ref, olo_hbm, ohi_hbm,
+                       *, chunks_d: int, chunks_t: int, chunks_mid: int,
+                       sides: Tuple[str, str], k: int, bits: int, B: int):
+    """Explicit-DMA double-buffered variant of _sliced_ntt_kernel
+    (MFHE_SLICED_DMA=1): grid is (L,) only; the B axis streams through a
+    2-slot VMEM scratch ring with hand-issued async copies, so tile b+1's
+    HBM fetch and tile b-1's writeback run during tile b's compute
+    regardless of what Mosaic's automatic pipeliner chooses to overlap.
+
+    This targets the round-2 measured no-overlap behavior (docs/PERF.md:
+    components sum linearly, io ~1.77 us/NTT of the 9.1 us total)."""
+    l = pl.program_id(0)
+    ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
+    qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
+
+    def body(ilo, ihi, slo, shi, isem_l, isem_h, osem_l, osem_h):
+        def in_lo(b, s):
+            return pltpu.make_async_copy(dlo_hbm.at[l, b], ilo.at[s],
+                                         isem_l.at[s])
+
+        def in_hi(b, s):
+            return pltpu.make_async_copy(dhi_hbm.at[l, b], ihi.at[s],
+                                         isem_h.at[s])
+
+        def out_lo(b, s):
+            return pltpu.make_async_copy(slo.at[s], olo_hbm.at[l, b],
+                                         osem_l.at[s])
+
+        def out_hi(b, s):
+            return pltpu.make_async_copy(shi.at[s], ohi_hbm.at[l, b],
+                                         osem_h.at[s])
+
+        in_lo(0, 0).start()
+        in_hi(0, 0).start()
+
+        def loop(b, _):
+            s = jax.lax.rem(b, 2)
+            nxt = jax.lax.rem(b + 1, 2)
+
+            @pl.when(b + 1 < B)
+            def _():
+                in_lo(b + 1, nxt).start()
+                in_hi(b + 1, nxt).start()
+
+            in_lo(b, s).wait()
+            in_hi(b, s).wait()
+
+            @pl.when(b >= 2)
+            def _():
+                out_lo(b - 2, s).wait()
+                out_hi(b - 2, s).wait()
+
+            rh, rl = _sliced_tile(
+                ilo[s], ihi[s], lambda c: tA_ref[0, c], lambda c: tB_ref[0, c],
+                twl_ref[0, 0], twh_ref[0, 0], ql, qh, qi32, qi28,
+                chunks_d=chunks_d, chunks_t=chunks_t, chunks_mid=chunks_mid,
+                sides=sides, k=k, bits=bits)
+            slo[s] = rl
+            shi[s] = rh
+            out_lo(b, s).start()
+            out_hi(b, s).start()
+            return 0
+
+        jax.lax.fori_loop(0, B, loop, 0)
+        for b in range(max(0, B - 2), B):
+            out_lo(b, b % 2).wait()
+            out_hi(b, b % 2).wait()
+
+    n1 = dlo_hbm.shape[2]
+    n2 = dlo_hbm.shape[3]
+    pl.run_scoped(
+        body,
+        ilo=pltpu.VMEM((2, n1, n2), jnp.uint32),
+        ihi=pltpu.VMEM((2, n1, n2), jnp.uint32),
+        slo=pltpu.VMEM((2, n1, n2), jnp.uint32),
+        shi=pltpu.VMEM((2, n1, n2), jnp.uint32),
+        isem_l=pltpu.SemaphoreType.DMA((2,)),
+        isem_h=pltpu.SemaphoreType.DMA((2,)),
+        osem_l=pltpu.SemaphoreType.DMA((2,)),
+        osem_h=pltpu.SemaphoreType.DMA((2,)),
+    )
 
 
 def _sliced_stage_kernel(dlo_ref, dhi_ref, tch_ref, sc_ref, olo_ref, ohi_ref,
@@ -1792,6 +1895,34 @@ class SlicedFourStepNTT:
         bb = max(1, int(os.environ.get("MFHE_SLICED_BB", "1")))
         while B % bb:
             bb //= 2
+        if os.environ.get("MFHE_SLICED_DMA") == "1":
+            kern = functools.partial(
+                _sliced_dma_kernel, chunks_d=cA, chunks_t=self.chunks_t,
+                chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits, B=B)
+            hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            return pl.pallas_call(
+                kern,
+                grid=(L,),
+                in_specs=[hbm_spec, hbm_spec,
+                          pl.BlockSpec((1, self.chunks_t, n1, cA * n1),
+                                       lambda l: (l, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((1, self.chunks_t, n1,
+                                        self.chunks_mid * n1),
+                                       lambda l: (l, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((1, 1, n1, n2), lambda l: (l, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((1, 1, n1, n2), lambda l: (l, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((1, 1, 4), lambda l: (l, 0, 0),
+                                       memory_space=pltpu.SMEM)],
+                out_specs=(hbm_spec, hbm_spec),
+                out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
+                           jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
+                interpret=jax.default_backend() == "cpu",
+                compiler_params=_sliced_params(1),
+            )
         kern = functools.partial(
             _sliced_ntt_kernel, chunks_d=cA, chunks_t=self.chunks_t,
             chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits, bb=bb)

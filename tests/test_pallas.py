@@ -157,3 +157,20 @@ def test_sliced_small_primes_bit_exact(rng):
     xj = jnp.asarray(x)
     np.testing.assert_array_equal(np.asarray(oracle.forward(xj)),
                                   np.asarray(sliced.forward(xj)))
+
+
+def test_sliced_dma_variant_bit_exact(setup, rng, monkeypatch):
+    """MFHE_SLICED_DMA=1 (explicit double-buffered DMA pipeline, grid (L,))
+    == the grid-pipelined kernel, both directions."""
+    plan, _, _ = setup
+    base = pn.SlicedFourStepNTT(plan)
+    monkeypatch.setenv("MFHE_SLICED_DMA", "1")
+    dma = pn.SlicedFourStepNTT(plan)
+    x = np.stack([rng.integers(0, q, size=(3, plan.n), dtype=np.uint64)
+                  for q in plan.moduli])
+    xj = jnp.asarray(x)
+    want = base.forward(xj)
+    got = dma.forward(xj)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    np.testing.assert_array_equal(np.asarray(base.inverse(want)),
+                                  np.asarray(dma.inverse(want)))
