@@ -27,8 +27,10 @@ scaled integers:
     DFT tables, 2^-39+ for small-norm inverses).  Full ref pipeline error
     measured 2.0e-7 — and 2.3x faster than XLA's emulated f64.
 
-Complex combination happens at the int32 diagonal level (rr = d(xr,tr) -
-d(xi,ti)), so one complex product costs 4 digit-dot sets and 2 packs.
+Complex combination happens at the int32 diagonal level via 3-mult
+Karatsuba (P1 = tr*dr, P2 = ti*di, P3 = (tr+ti)*(dr+di); re = P1-P2,
+im = P3-P1-P2), so one complex product costs 3 digit-dot sets (a 25% MXU
+cut over the rr/ri/ir/ii form) and 2 packs.
 """
 
 from __future__ import annotations
@@ -115,13 +117,21 @@ def fp_transforms_default() -> bool:
 
 
 def _fp_cmatmul_kernel(xrl_ref, xrh_ref, xil_ref, xih_ref, tr_ref, ti_ref,
-                       o_refs, *, dchunks: int, tchunks: int, bias_bits: int,
-                       neg_c_words):
-    """out[w, m] = sum_k T[w, k] * X[k, m] (complex), exact over ints."""
-    dr = _balanced_digits(xrl_ref[0], xrh_ref[0], dchunks)
-    di = _balanced_digits(xil_ref[0], xih_ref[0], dchunks)
-    dr = [d.astype(jnp.int8) for d in dr]
-    di = [d.astype(jnp.int8) for d in di]
+                       ts_ref, o_refs, *, dchunks: int, tchunks: int,
+                       bias_bits: int, neg_c_words):
+    """out[w, m] = sum_k T[w, k] * X[k, m] (complex), exact over ints.
+
+    Complex products run as 3-multiplication Karatsuba per digit pair —
+    P1 = tr*dr, P2 = ti*di, P3 = (tr+ti)*(dr+di); re = P1-P2,
+    im = P3-P1-P2 — a 25% MXU cut.  The data-digit sums dr+di stay in
+    [-128, 126] (int8-exact) because the digit planes are balanced, and
+    the table-digit planes of tr+ti fit the same plane count because
+    t_bits is budgeted against max(|tr|, |ti|, |tr+ti|) host-side."""
+    dr32 = _balanced_digits(xrl_ref[0], xrh_ref[0], dchunks)
+    di32 = _balanced_digits(xil_ref[0], xih_ref[0], dchunks)
+    dr = [d.astype(jnp.int8) for d in dr32]
+    di = [d.astype(jnp.int8) for d in di32]
+    ds = [(a + b).astype(jnp.int8) for a, b in zip(dr32, di32)]
 
     def dot(t_ref, i, dp):
         return jax.lax.dot_general(t_ref[0, i], dp,
@@ -135,8 +145,11 @@ def _fp_cmatmul_kernel(xrl_ref, xrh_ref, xil_ref, xih_ref, tr_ref, ti_ref,
         acc_re = acc_im = None
         for i in range(max(0, s - dchunks + 1), min(tchunks, s + 1)):
             j = s - i
-            pre = dot(tr_ref, i, dr[j]) - dot(ti_ref, i, di[j])
-            pim = dot(tr_ref, i, di[j]) + dot(ti_ref, i, dr[j])
+            p1 = dot(tr_ref, i, dr[j])
+            p2 = dot(ti_ref, i, di[j])
+            p3 = dot(ts_ref, i, ds[j])
+            pre = p1 - p2
+            pim = p3 - p1 - p2
             acc_re = pre if acc_re is None else acc_re + pre
             acc_im = pim if acc_im is None else acc_im + pim
         out_re.append(acc_re)
@@ -172,9 +185,9 @@ def _fp_cmatmul_kernel(xrl_ref, xrh_ref, xil_ref, xih_ref, tr_ref, ti_ref,
         sg_ref[0] = neg
 
 
-def _kernel_entry(xrl, xrh, xil, xih, tr, ti,
+def _kernel_entry(xrl, xrh, xil, xih, tr, ti, ts,
                   r0, r1, r2, r3, i0, i1, i2, i3, **kw):
-    _fp_cmatmul_kernel(xrl, xrh, xil, xih, tr, ti,
+    _fp_cmatmul_kernel(xrl, xrh, xil, xih, tr, ti, ts,
                        ((r0, r1, r2, r3), (i0, i1, i2, i3)), **kw)
 
 
@@ -194,24 +207,34 @@ class ExactComplexMatmul:
         self.m_tile = m_tile if m_tile is not None else (
             256 if W * K <= 128 * 128 else 128)
         # per-table scale: small-norm tables (e.g. inverse DFTs) get more
-        # fractional bits for free within the T_DIGITS balanced-digit range
+        # fractional bits for free within the T_DIGITS balanced-digit range.
+        # The Karatsuba kernel also multiplies by tr+ti, so the scale is
+        # budgeted against max(|re|, |im|, |re+im|) (<= ~0.5 bit of table
+        # precision vs the 4-dot scheme — far inside the 1e-4 contract).
         bound = 127 * (128 ** (T_DIGITS - 1)) // 2
-        mx = max(np.abs(t_complex.real).max(), np.abs(t_complex.imag).max())
+        mx = max(np.abs(t_complex.real).max(), np.abs(t_complex.imag).max(),
+                 np.abs(t_complex.real + t_complex.imag).max())
         self.t_bits = int(np.floor(np.log2(bound / max(mx, 1e-300))))
         tr_int = np.round(t_complex.real * (2.0 ** self.t_bits)).astype(np.int64)
         ti_int = np.round(t_complex.imag * (2.0 ** self.t_bits)).astype(np.int64)
         self._tr = jnp.asarray(_split_tables_balanced(tr_int))
         self._ti = jnp.asarray(_split_tables_balanced(ti_int))
-        self.tchunks = max(self._tr.shape[0], self._ti.shape[0])
-        if self._tr.shape[0] < self.tchunks:
-            pad = np.zeros((self.tchunks - self._tr.shape[0], W, K), np.int8)
-            self._tr = jnp.concatenate([self._tr, jnp.asarray(pad)])
-        if self._ti.shape[0] < self.tchunks:
-            pad = np.zeros((self.tchunks - self._ti.shape[0], W, K), np.int8)
-            self._ti = jnp.concatenate([self._ti, jnp.asarray(pad)])
-        # diagonal magnitude bound: K terms * 64^2 * overlap count
+        self._ts = jnp.asarray(_split_tables_balanced(tr_int + ti_int))
+        self.tchunks = max(self._tr.shape[0], self._ti.shape[0],
+                           self._ts.shape[0])
+
+        def _pad(t):
+            if t.shape[0] < self.tchunks:
+                pad = np.zeros((self.tchunks - t.shape[0], W, K), np.int8)
+                return jnp.concatenate([t, jnp.asarray(pad)])
+            return t
+
+        self._tr, self._ti, self._ts = map(_pad,
+                                           (self._tr, self._ti, self._ts))
+        # diagonal magnitude bound: K terms * digit products * overlap; the
+        # im part accumulates P3 (data digits doubled) + P1 + P2 -> 4x
         n_diag = DATA_CHUNKS + self.tchunks - 1
-        max_diag = K * 64 * 64 * min(DATA_CHUNKS, self.tchunks) * 2
+        max_diag = K * 64 * 64 * min(DATA_CHUNKS, self.tchunks) * 4
         self.bias_bits = max_diag.bit_length()
         assert (1 << self.bias_bits) + max_diag < (1 << 31)
         c_total = sum((1 << self.bias_bits) << (CHUNK_BITS * s)
@@ -227,16 +250,14 @@ class ExactComplexMatmul:
             bias_bits=self.bias_bits, neg_c_words=self.neg_c)
         data = pl.BlockSpec((1, K, TM), lambda m: (0, 0, m),
                             memory_space=pltpu.VMEM)
-        tbl_r = pl.BlockSpec((1, self._tr.shape[0], W, K),
-                             lambda m: (0, 0, 0, 0), memory_space=pltpu.VMEM)
-        tbl_i = pl.BlockSpec((1, self._ti.shape[0], W, K),
-                             lambda m: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+        tbl = pl.BlockSpec((1, self.tchunks, W, K),
+                           lambda m: (0, 0, 0, 0), memory_space=pltpu.VMEM)
         out = pl.BlockSpec((1, W, TM), lambda m: (0, 0, m),
                            memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kern,
             grid=(M // TM,),
-            in_specs=[data, data, data, data, tbl_r, tbl_i],
+            in_specs=[data, data, data, data, tbl, tbl, tbl],
             out_specs=(out,) * 8,
             out_shape=tuple(jax.ShapeDtypeStruct((1, W, M), jnp.uint32)
                             for _ in range(8)),
@@ -270,7 +291,7 @@ class ExactComplexMatmul:
         call = self._call(M, TM)
         with jax.enable_x64(False):
             outs = call(xrl[None], xrh[None], xil[None], xih[None],
-                        self._tr[None], self._ti[None])
+                        self._tr[None], self._ti[None], self._ts[None])
         unscale = 1.0 / (s * np.float64(2.0 ** self.t_bits))
 
         def rec(m0, m1, m2, sg):
