@@ -85,10 +85,27 @@ class BatchedEncoder:
     # -- u32-pair hot path (fast_float + Pallas only) -------------------------
 
     def encode_pair(self, m_re, m_im):
-        """encode_to_wntt_eval producing u32 (lo, hi) plane pairs."""
+        """encode_to_wntt_eval producing u32 (lo, hi) plane pairs.
+
+        When the fixed-point W-IDFT kernel is active and Delta is a power
+        of two, the quantize runs on the kernel's integer output words
+        (dynamic shift-round + one Montgomery multiply per limb) — the
+        f64 reconstruct / llround / per-limb f64 mod disappear from the
+        graph entirely."""
         xr, xi = self.encoder.idft2(m_re, m_im)
-        cr, ci = self.wt.dft_inverse_pair(xr, xi)
-        (rl, rh), (il, ih) = self.encoder.quantize_pair(cr, ci)
+        m_flat = 1
+        for d in xr.shape[1:]:
+            m_flat *= d
+        if (self.encoder.delta_bits is not None
+                and self.wt.dft_words_available(m_flat)):
+            words_r, words_i, e = self.wt.dft_inverse_words(xr, xi)
+            (rl, rh), (il, ih) = self.encoder.quantize_words(
+                words_r, words_i, e)
+            shp = (rl.shape[0],) + xr.shape
+            rl, rh, il, ih = (a.reshape(shp) for a in (rl, rh, il, ih))
+        else:
+            cr, ci = self.wt.dft_inverse_pair(xr, xi)
+            (rl, rh), (il, ih) = self.encoder.quantize_pair(cr, ci)
         return self.wt.forward_pair(rl, rh), self.wt.forward_pair(il, ih)
 
     def decode_pair(self, re_pair, im_pair):

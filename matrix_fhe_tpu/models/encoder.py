@@ -152,6 +152,42 @@ class Encoder:
                 (jnp.stack([p[0] for p in pis]),
                  jnp.stack([p[1] for p in pis])))
 
+    @property
+    def delta_bits(self):
+        """log2(Delta) when Delta is an exact power of two, else None."""
+        d = float(self.params.delta)
+        db = int(round(np.log2(d)))
+        return db if 2.0 ** db == d else None
+
+    def quantize_words(self, words_re, words_im, e_scale):
+        """Integer quantize straight from ExactComplexMatmul.call_words
+        output: round(c * Delta) is an exact dynamic right shift of the
+        sign-magnitude words (Delta a power of two), and each RNS residue
+        is one u64 Montgomery multiply — no f64 anywhere (the f64
+        reconstruct + llround + per-limb f64 mod of the quantize_pair
+        route was the encode pipeline's largest non-transform cost)."""
+        from ..ops import modmath as mm
+        from ..ops.ddfloat import words_shr_round
+        db = self.delta_bits
+        assert db is not None, "quantize_words requires a power-of-two Delta"
+        sh = jnp.maximum(e_scale - np.int32(db), np.int32(1))
+        consts = [mm.MontConsts.make(int(q)) for q in self.params.moduli]
+        outs = []
+        for m0, m1, m2, sg in (words_re, words_im):
+            lo, hi = words_shr_round(m0, m1, m2, sh)
+            v = mm.pair_join(lo, hi)
+            neg = sg.astype(jnp.uint64) != 0
+            los, his = [], []
+            for c in consts:
+                r = mm.mont_mul(v, mm.u64c(c.r_mod), mm.u64c(c.q),
+                                mm.u64c(c.qinv_neg))
+                r = jnp.where(neg & (r != 0), mm.u64c(c.q) - r, r)
+                l32, h32 = mm.pair_split(r)
+                los.append(l32)
+                his.append(h32)
+            outs.append((jnp.stack(los), jnp.stack(his)))
+        return outs[0], outs[1]
+
     def encode(self, m_re, m_im):
         """Full lane encode: complex matrix -> RNS pair in XY-eval basis
         (Encoder::encode, encoder.cu:446-458)."""

@@ -217,3 +217,33 @@ def compose_scaled_pair_to_float(lo32, hi32, moduli, big_q: int,
     v = yl.astype(F64) + jax.lax.bitcast_convert_type(
         yh, jnp.int32).astype(F64) * np.float64(2.0 ** 32)
     return v / np.float64(delta)
+
+
+def words_shr_round(m0, m1, m2, sh):
+    """round-half-away((m0 + m1*2^32 + m2*2^64) >> sh) as u32 (lo, hi).
+
+    sh: dynamic uint32/int32 SCALAR in [1, 95]; the rounded result must
+    fit 64 bits (the encode quantize contract |round(c*Delta)| < 2^63,
+    the same bound the f64 llround path carries).  All shifts stay < 32
+    (the <<(31-b)<<1 form), so the lowering is defined for b == 0.
+    """
+    sh = sh.astype(jnp.uint32)
+    k = sh // np.uint32(32)
+    b = sh - k * np.uint32(32)
+
+    def funnel(a, nxt):
+        return (a >> b) | ((nxt << (np.uint32(31) - b)) << np.uint32(1))
+
+    z = jnp.zeros_like(m2)
+    lo = jnp.where(k == 0, funnel(m0, m1),
+                   jnp.where(k == 1, funnel(m1, m2), m2 >> b))
+    hi = jnp.where(k == 0, funnel(m1, m2),
+                   jnp.where(k == 1, m2 >> b, z))
+    sb = sh - np.uint32(1)
+    j = sb // np.uint32(32)
+    c = sb - j * np.uint32(32)
+    rb = jnp.where(j == 0, m0 >> c,
+                   jnp.where(j == 1, m1 >> c, m2 >> c)) & np.uint32(1)
+    lo2 = lo + rb
+    hi = hi + (lo2 < lo).astype(jnp.uint32)
+    return lo2, hi

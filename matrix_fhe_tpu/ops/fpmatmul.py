@@ -274,13 +274,18 @@ class ExactComplexMatmul:
         hi = jax.lax.bitcast_convert_type(hi_f.astype(jnp.int32), U32)
         return f64_to_u32_exact(lo_f), hi
 
-    def __call__(self, xr: jnp.ndarray, xi: jnp.ndarray
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def call_words(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        """Raw kernel output: ((m0, m1, m2, sign) re, (..) im, e_scale)
+        with  true_value = (-1)^sign * (m0 + m1 2^32 + m2 2^64) * 2^-e_scale
+        exactly (up to input/table quantization); e_scale is a dynamic
+        int32 scalar.  Lets integer consumers (encode quantize) skip the
+        f64 reconstruction entirely."""
         K, M = xr.shape
         # dynamic power-of-two scaling to |x_int| <= 2^X_BITS (exact in f64)
         mx = jnp.maximum(jnp.max(jnp.abs(xr)), jnp.max(jnp.abs(xi)))
         mx = jnp.maximum(mx, np.float64(1e-300))
-        s = jnp.exp2(np.float64(X_BITS) - jnp.ceil(jnp.log2(mx)))
+        e_pow = np.float64(X_BITS) - jnp.ceil(jnp.log2(mx))
+        s = jnp.exp2(e_pow)
         vr = jnp.round(xr * s)
         vi = jnp.round(xi * s)
         xrl, xrh = self._to_pair(vr)
@@ -292,12 +297,20 @@ class ExactComplexMatmul:
         with jax.enable_x64(False):
             outs = call(xrl[None], xrh[None], xil[None], xih[None],
                         self._tr[None], self._ti[None], self._ts[None])
-        unscale = 1.0 / (s * np.float64(2.0 ** self.t_bits))
+        e_scale = e_pow.astype(jnp.int32) + np.int32(self.t_bits)
+        words_re = tuple(o[0] for o in outs[:4])
+        words_im = tuple(o[0] for o in outs[4:])
+        return words_re, words_im, e_scale
+
+    def __call__(self, xr: jnp.ndarray, xi: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        words_re, words_im, e_scale = self.call_words(xr, xi)
+        unscale = jnp.exp2(-e_scale.astype(F64))
 
         def rec(m0, m1, m2, sg):
-            v = (m0[0].astype(F64)
-                 + m1[0].astype(F64) * np.float64(2.0 ** 32)
-                 + m2[0].astype(F64) * np.float64(2.0 ** 64))
-            return jnp.where(sg[0] == 1, -v, v) * unscale
+            v = (m0.astype(F64)
+                 + m1.astype(F64) * np.float64(2.0 ** 32)
+                 + m2.astype(F64) * np.float64(2.0 ** 64))
+            return jnp.where(sg == 1, -v, v) * unscale
 
-        return rec(*outs[:4]), rec(*outs[4:])
+        return rec(*words_re), rec(*words_im)

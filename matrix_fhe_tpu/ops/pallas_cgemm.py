@@ -120,6 +120,43 @@ def _cgemm_kernel(arl_ref, arh_ref, ail_ref, aih_ref,
                             diag_bound=chunks_d * n * 127 * 127,
                             bits=bits)
 
+    def gemm4_merged():
+        """All four real GEMMs of the complex product in ONE dot per lane:
+        rows = [Ar; Ai] (2n), columns = every (digit plane c) x (Br | Bi)
+        table slice (2*chunks_t*n) — 8x fewer, 20x bigger MXU issues than
+        the per-(part, plane, lane) form (the measured 2.6x scheduling
+        residual of round 2 was per-dot fixed overhead, not data
+        movement).  Bit-identical: each output element is the same single
+        i32 dot product, just batched."""
+        rr_d = [[] for _ in range(chunks_t)]
+        ri_d = [[] for _ in range(chunks_t)]
+        ir_d = [[] for _ in range(chunks_t)]
+        ii_d = [[] for _ in range(chunks_t)]
+        for w in range(wb):
+            sl = slice(w * n, (w + 1) * n)
+            a2 = jnp.concatenate([acat_r[sl], acat_i[sl]], axis=0)
+            tb_all = jnp.concatenate(
+                [tbr[c][sl] for c in range(chunks_t)]
+                + [tbi[c][sl] for c in range(chunks_t)], axis=0)
+            res = jax.lax.dot_general(a2, tb_all, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            for c in range(chunks_t):
+                rr_d[c].append(res[:n, c * n:(c + 1) * n])
+                ri_d[c].append(res[:n, (chunks_t + c) * n:
+                                    (chunks_t + c + 1) * n])
+                ir_d[c].append(res[n:, c * n:(c + 1) * n])
+                ii_d[c].append(res[n:, (chunks_t + c) * n:
+                                    (chunks_t + c + 1) * n])
+
+        def fold(dlists):
+            diags = [d[0] if wb == 1 else jnp.concatenate(d, axis=0)
+                     for d in dlists]
+            return _fold_redc28(diags, qh, ql, qi28,
+                                diag_bound=chunks_d * n * 127 * 127,
+                                bits=bits)
+
+        return fold(rr_d), fold(ii_d), fold(ri_d), fold(ir_d)
+
     if _abl == "dots1":
         rr_h, rr_l = gemm(acat_r, tbr)
         crl_ref[0] = rr_l.reshape(wb, n, n)
@@ -127,10 +164,14 @@ def _cgemm_kernel(arl_ref, arh_ref, ail_ref, aih_ref,
         cil_ref[0] = rr_l.reshape(wb, n, n)
         cih_ref[0] = rr_h.reshape(wb, n, n)
         return
-    rr_h, rr_l = gemm(acat_r, tbr)     # Ar @ Br
-    ii_h, ii_l = gemm(acat_i, tbi)     # Ai @ Bi
-    ri_h, ri_l = gemm(acat_r, tbi)     # Ar @ Bi
-    ir_h, ir_l = gemm(acat_i, tbr)     # Ai @ Br
+    if _os.environ.get("MFHE_CGEMM_SPLIT") == "1":   # round-2 form
+        rr_h, rr_l = gemm(acat_r, tbr)     # Ar @ Br
+        ii_h, ii_l = gemm(acat_i, tbi)     # Ai @ Bi
+        ri_h, ri_l = gemm(acat_r, tbi)     # Ar @ Bi
+        ir_h, ir_l = gemm(acat_i, tbr)     # Ai @ Br
+    else:
+        ((rr_h, rr_l), (ii_h, ii_l),
+         (ri_h, ri_l), (ir_h, ir_l)) = gemm4_merged()
     # C_re = rr - ii, C_im = ri + ir  (canonical mod-q add/sub on pairs)
     bl = rr_l - ii_l
     bb = (rr_l < ii_l).astype(U32)

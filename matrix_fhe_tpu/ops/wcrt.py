@@ -309,6 +309,19 @@ class WTransform:
             yr, yi = self._cmatmul(self._idft_re, self._idft_im, xr, xi)
         return yr.reshape(shape), yi.reshape(shape)
 
+    def dft_inverse_words(self, re, im):
+        """dft_inverse_pair as raw fp-kernel words: ((m0,m1,m2,sg) re,
+        (..) im, e_scale), each word [W, prod(rest)] u32 — the integer
+        encode-quantize input.  Caller must ensure the fp path is active
+        (dft_words_available)."""
+        shape = re.shape
+        xr = re.reshape(shape[0], -1).astype(jnp.float64)
+        xi = im.reshape(shape[0], -1).astype(jnp.float64)
+        return self._fp_idft.call_words(xr, xi)
+
+    def dft_words_available(self, m: int) -> bool:
+        return self._fp_idft is not None and m % 8 == 0
+
     @property
     def composer(self) -> CRTComposer:
         return self._composer

@@ -97,3 +97,39 @@ def test_zero_key_full_decrypt_fixture():
     # the reference's 1e-3 bound assumes Delta = 2^35; tiny runs at
     # Delta = 2^12, whose quantization floor alone is ~6e-3
     assert err < 1e-2, err
+
+
+def test_integer_quantize_matches_f64_route(monkeypatch):
+    """encode_pair's integer-words quantize (fp kernel + dynamic
+    shift-round + Montgomery residues) == the f64 llround route within
+    the one-ulp the f64 reconstruction may lose (the integer path is the
+    MORE exact of the two): per-limb centered difference <= 1."""
+    monkeypatch.setenv("MFHE_FP_TRANSFORMS", "1")
+    import matrix_fhe_tpu.ops.modmath as mm
+    p = get_params("tiny")
+    be2 = BatchedEncoder(get_params("tiny"))
+    assert be2.wt._fp_idft is not None
+    re, im = _test_message(p, scale=0.37)
+    (rl, rh), (il, ih) = be2.encode_pair(jnp.asarray(re), jnp.asarray(im))
+
+    # the f64 route vs the words route, compared BEFORE the W-CRT forward
+    xr, xi = be2.encoder.idft2(jnp.asarray(re), jnp.asarray(im))
+    cr, ci = be2.wt.dft_inverse_pair(xr, xi)
+    words_r, words_i, e = be2.wt.dft_inverse_words(xr, xi)
+    (qrl, qrh), (qil, qih) = be2.encoder.quantize_words(words_r, words_i, e)
+    (grl, grh), (gil, gih) = be2.encoder.quantize_pair(cr, ci)
+    shp = (qrl.shape[0],) + xr.shape
+    for (al, ah), (bl, bh) in (((qrl, qrh), (grl, grh)),
+                               ((qil, qih), (gil, gih))):
+        a = np.asarray(mm.pair_join(al.reshape(shp), ah.reshape(shp)))
+        b = np.asarray(mm.pair_join(bl, bh))
+        for l, q in enumerate(p.moduli):
+            d = (a[l].astype(np.int64) - b[l].astype(np.int64)) % int(q)
+            d = np.minimum(d, int(q) - d)
+            assert d.max() <= 1, (l, d.max())
+
+    # and the full encode_pair output decodes within the contract
+    dr, di = be2.decode_pair((rl, rh), (il, ih))
+    tol = 1e-3 if p.delta >= 2**30 else 0.35
+    err = np.hypot(np.asarray(dr) - re, np.asarray(di) - im).max()
+    assert err < tol, err
