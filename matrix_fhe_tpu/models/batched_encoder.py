@@ -92,18 +92,23 @@ class BatchedEncoder:
         (dynamic shift-round + one Montgomery multiply per limb) — the
         f64 reconstruct / llround / per-limb f64 mod disappear from the
         graph entirely."""
-        xr, xi = self.encoder.idft2(m_re, m_im)
         m_flat = 1
-        for d in xr.shape[1:]:
+        for d in m_re.shape[1:]:
             m_flat *= d
         if (self.encoder.delta_bits is not None
+                and self.encoder.words_available(m_re)
                 and self.wt.dft_words_available(m_flat)):
-            words_r, words_i, e = self.wt.dft_inverse_words(xr, xi)
-            (rl, rh), (il, ih) = self.encoder.quantize_words(
-                words_r, words_i, e)
-            shp = (rl.shape[0],) + xr.shape
+            # fully words-chained: XY-IDFT sandwich -> W-IDFT -> quantize
+            # with exact integer shift-rounds at every link
+            wr, wi, e = self.encoder.idft2_words(m_re, m_im)
+            flat = tuple(w.reshape(w.shape[0], -1) for w in wr)
+            flati = tuple(w.reshape(w.shape[0], -1) for w in wi)
+            wr2, wi2, e2 = self.wt.dft_inverse_words_w(flat, flati, e)
+            (rl, rh), (il, ih) = self.encoder.quantize_words(wr2, wi2, e2)
+            shp = (rl.shape[0],) + m_re.shape
             rl, rh, il, ih = (a.reshape(shp) for a in (rl, rh, il, ih))
         else:
+            xr, xi = self.encoder.idft2(m_re, m_im)
             cr, ci = self.wt.dft_inverse_pair(xr, xi)
             (rl, rh), (il, ih) = self.encoder.quantize_pair(cr, ci)
         return self.wt.forward_pair(rl, rh), self.wt.forward_pair(il, ih)
@@ -125,5 +130,17 @@ class BatchedEncoder:
         bh = jnp.stack([rh, ih], axis=2)
         f2 = self.wt.inverse_scaled_compose_pair(bl, bh, p.delta)
         fr, fi = f2[:, 0], f2[:, 1]
+        m_flat = 1
+        for d in fr.shape[1:]:
+            m_flat *= d
+        if (self.wt.dft_words_available(m_flat)
+                and self.encoder.words_available(fr)):
+            # words-chained decode: W-DFT -> XY-DFT sandwich with one f64
+            # reconstruction at the very end
+            wr, wi, e = self.wt.dft_forward_words(fr, fi)
+            shp = fr.shape
+            wr = tuple(w.reshape(shp) for w in wr)
+            wi = tuple(w.reshape(shp) for w in wi)
+            return self.encoder.dft2_words_in(wr, wi, e)
         er, ei = self.wt.dft_forward_pair(fr, fi)
         return self.encoder.dft2(er, ei)

@@ -96,6 +96,63 @@ class Encoder:
         return (jnp.transpose(ur.reshape(n, W, n), (1, 2, 0)),
                 jnp.transpose(ui.reshape(n, W, n), (1, 2, 0)))
 
+    # -- words-chained transforms (fp kernels only): the f64 reconstruct /
+    # requantize round trips between chained ExactComplexMatmuls collapse
+    # to exact integer shift-rounds of the kernels' own output words --------
+
+    @staticmethod
+    def _perm_words(words, f):
+        return tuple(f(w) for w in words)
+
+    def _sandwich_words_tail(self, fp, wr, wi, e1, W, n):
+        """Second transform of a V (..) V^T sandwich on words from the
+        first: lane reorder (W, j) -> (W, i'), chained matmul, then the
+        [W, n, n] output reorder — all on the u32 word planes."""
+        def perm1(x):
+            return jnp.transpose(x.reshape(n, W, n), (2, 1, 0)).reshape(n, -1)
+
+        wr = self._perm_words(wr, perm1)
+        wi = self._perm_words(wi, perm1)
+        ur, ui, e2 = fp.call_words_w(wr, wi, e1)
+
+        def perm2(x):
+            return jnp.transpose(x.reshape(n, W, n), (1, 2, 0))
+
+        return (self._perm_words(ur, perm2), self._perm_words(ui, perm2), e2)
+
+    def idft2_words(self, m_re, m_im):
+        """idft2 returning fp-kernel words ([W, n, n] planes) + scale.
+        Requires the fp path (caller gates on words_available)."""
+        fp = self._fp_vi
+        W, n = m_re.shape[0], m_re.shape[-1]
+        mr = jnp.swapaxes(m_re.astype(F64), 0, 1).reshape(n, -1)
+        mi = jnp.swapaxes(m_im.astype(F64), 0, 1).reshape(n, -1)
+        wr, wi, e1 = fp.call_words(mr, mi)
+        return self._sandwich_words_tail(fp, wr, wi, e1, W, n)
+
+    def dft2_words_in(self, words_r, words_i, e_scale):
+        """dft2 consuming words ([W, n, n] planes, e.g. from
+        WTransform.dft_forward_words) and returning the final f64 pair —
+        the single f64 reconstruction of a fully words-chained decode."""
+        fp = self._fp_v
+        W, n = words_r[0].shape[0], words_r[0].shape[-1]
+
+        def perm0(x):
+            return jnp.swapaxes(x, 0, 1).reshape(n, -1)
+
+        wr = self._perm_words(words_r, perm0)
+        wi = self._perm_words(words_i, perm0)
+        ur, ui, e1 = fp.call_words_w(wr, wi, e_scale)
+        ur, ui, e2 = self._sandwich_words_tail(fp, ur, ui, e1, W, n)
+        from ..ops.fpmatmul import ExactComplexMatmul
+        return (ExactComplexMatmul.words_to_f64(ur, e2),
+                ExactComplexMatmul.words_to_f64(ui, e2))
+
+    def words_available(self, m_re) -> bool:
+        return (self._fp_vi is not None and self._fp_v is not None
+                and m_re.ndim >= 3
+                and (m_re.shape[0] * m_re.shape[-2]) % 8 == 0)
+
     def idft2(self, m_re, m_im) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """V^-1 @ M @ (V^-1)^T  (encoder.cu:460-467)."""
         if self.dd_transforms:

@@ -302,15 +302,57 @@ class ExactComplexMatmul:
         words_im = tuple(o[0] for o in outs[4:])
         return words_re, words_im, e_scale
 
+    def call_words_w(self, words_re, words_im, e_scale):
+        """Chain entry: consume another fp matmul's (words, e_scale) output
+        directly — renormalize to <= 2^X_BITS by an exact shift-round (no
+        per-element f64 anywhere; the dynamic rescale works off the
+        word-plane maxima, scalars).  Returns (words, e') like call_words."""
+        from .ddfloat import words_shr_round
+        # magnitude ceiling from word maxima (exact scalar f64 math)
+        mxs = [jnp.maximum(jnp.max(w[0]).astype(F64)
+                           + jnp.max(w[1]).astype(F64) * np.float64(2.0 ** 32)
+                           + jnp.max(w[2]).astype(F64) * np.float64(2.0 ** 64),
+                           np.float64(1.0))
+               for w in (words_re, words_im)]
+        mx = jnp.maximum(mxs[0], mxs[1])
+        # ceil over the max-of-words bound keeps |rounded| <= 2^X_BITS
+        sh = jnp.maximum(jnp.ceil(jnp.log2(mx)).astype(jnp.int32)
+                         - np.int32(X_BITS), np.int32(0))
+
+        def renorm(m0, m1, m2, sg):
+            lo, hi = words_shr_round(m0, m1, m2, sh)
+            # sign-magnitude -> two's complement pair
+            nlo = (~lo) + np.uint32(1)
+            nhi = (~hi) + (lo == 0).astype(jnp.uint32)
+            neg = sg == 1
+            return jnp.where(neg, nlo, lo), jnp.where(neg, nhi, hi)
+
+        xrl, xrh = renorm(*words_re)
+        xil, xih = renorm(*words_im)
+        M = xrl.shape[1]
+        TM = min(self.m_tile, M)
+        while M % TM:
+            TM //= 2
+        call = self._call(M, TM)
+        with jax.enable_x64(False):
+            outs = call(xrl[None], xrh[None], xil[None], xih[None],
+                        self._tr[None], self._ti[None], self._ts[None])
+        e_out = e_scale - sh + np.int32(self.t_bits)
+        return (tuple(o[0] for o in outs[:4]),
+                tuple(o[0] for o in outs[4:]), e_out)
+
+    @staticmethod
+    def words_to_f64(words, e_scale):
+        """Sign-magnitude words + dynamic scale -> f64 (the only f64
+        reconstruction left on a words-chained pipeline: the final one)."""
+        m0, m1, m2, sg = words
+        v = (m0.astype(F64)
+             + m1.astype(F64) * np.float64(2.0 ** 32)
+             + m2.astype(F64) * np.float64(2.0 ** 64))
+        return jnp.where(sg == 1, -v, v) * jnp.exp2(-e_scale.astype(F64))
+
     def __call__(self, xr: jnp.ndarray, xi: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         words_re, words_im, e_scale = self.call_words(xr, xi)
-        unscale = jnp.exp2(-e_scale.astype(F64))
-
-        def rec(m0, m1, m2, sg):
-            v = (m0.astype(F64)
-                 + m1.astype(F64) * np.float64(2.0 ** 32)
-                 + m2.astype(F64) * np.float64(2.0 ** 64))
-            return jnp.where(sg == 1, -v, v) * unscale
-
-        return rec(*words_re), rec(*words_im)
+        return (self.words_to_f64(words_re, e_scale),
+                self.words_to_f64(words_im, e_scale))

@@ -319,8 +319,21 @@ class WTransform:
         xi = im.reshape(shape[0], -1).astype(jnp.float64)
         return self._fp_idft.call_words(xr, xi)
 
+    def dft_inverse_words_w(self, words_re, words_im, e_scale):
+        """dft_inverse_pair chained on upstream fp-kernel words
+        ([W, M] planes in, [W, M] planes out)."""
+        return self._fp_idft.call_words_w(words_re, words_im, e_scale)
+
+    def dft_forward_words(self, re, im):
+        """dft_forward_pair as raw fp-kernel words (f64 in, words out)."""
+        shape = re.shape
+        xr = re.reshape(shape[0], -1).astype(jnp.float64)
+        xi = im.reshape(shape[0], -1).astype(jnp.float64)
+        return self._fp_dft.call_words(xr, xi)
+
     def dft_words_available(self, m: int) -> bool:
-        return self._fp_idft is not None and m % 8 == 0
+        return (self._fp_idft is not None and self._fp_dft is not None
+                and m % 8 == 0)
 
     @property
     def composer(self) -> CRTComposer:

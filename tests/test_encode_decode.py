@@ -133,3 +133,27 @@ def test_integer_quantize_matches_f64_route(monkeypatch):
     tol = 1e-3 if p.delta >= 2**30 else 0.35
     err = np.hypot(np.asarray(dr) - re, np.asarray(di) - im).max()
     assert err < tol, err
+
+
+def test_words_chained_encode_decode_loopback(monkeypatch):
+    """Fully words-chained encode_pair -> decode_pair (fp kernels at every
+    transform, integer shift-round links, single trailing f64
+    reconstruction) stays inside the reference decode contract."""
+    monkeypatch.setenv("MFHE_FP_TRANSFORMS", "1")
+    p = get_params("tiny")
+    be2 = BatchedEncoder(get_params("tiny"))
+    re, im = _test_message(p, scale=0.9)
+    pair_r, pair_i = be2.encode_pair(jnp.asarray(re), jnp.asarray(im))
+    dr, di = be2.decode_pair(pair_r, pair_i)
+    tol = 1e-3 if p.delta >= 2**30 else 0.35
+    err = np.hypot(np.asarray(dr) - re, np.asarray(di) - im).max()
+    assert err < tol, err
+
+    # and against the f64-linked route on the same inputs
+    monkeypatch.setenv("MFHE_FP_TRANSFORMS", "0")
+    be3 = BatchedEncoder(get_params("tiny"))
+    pr3, pi3 = be3.encode_pair(jnp.asarray(re), jnp.asarray(im))
+    d3r, d3i = be3.decode_pair(pr3, pi3)
+    dd = np.hypot(np.asarray(dr) - np.asarray(d3r),
+                  np.asarray(di) - np.asarray(d3i)).max()
+    assert dd < tol, dd
