@@ -1144,13 +1144,14 @@ def _slice_tables(tables_u64: np.ndarray, moduli, chunks_d: int,
 
 
 def _sliced_consts(moduli) -> np.ndarray:
-    """Per-limb SMEM constants (ql, qh, qinv32, qinv28)."""
-    sc = np.empty((len(moduli), 4), dtype=np.uint32)
+    """Per-limb SMEM constants (ql, qh, qinv32, qinv28, qinv_hi, 0)."""
+    sc = np.zeros((len(moduli), 6), dtype=np.uint32)
     for l, q in enumerate(moduli):
         mc = MontConsts.make(int(q))
-        sc[l] = (q & 0xFFFFFFFF, q >> 32,
-                 mc.qinv_neg & 0xFFFFFFFF, mc.qinv_neg & 0x0FFFFFFF)
-    return sc.reshape(len(moduli), 1, 4)
+        sc[l, :5] = (q & 0xFFFFFFFF, q >> 32,
+                     mc.qinv_neg & 0xFFFFFFFF, mc.qinv_neg & 0x0FFFFFFF,
+                     mc.qinv_neg >> 32)
+    return sc.reshape(len(moduli), 1, 6)
 
 
 def _sliced_params(n_grid_axes: int = 0):
@@ -1309,16 +1310,27 @@ def _tw_mul_lazy(vh, vl, twsl, twsh, qh, ql, qi32):
 
 def _sliced_tile(lo, hi, tA, tB, twl, twh, ql, qh, qi32, qi28, *,
                  chunks_d: int, chunks_t: int, chunks_mid: int,
-                 sides: Tuple[str, str], k: int, bits: int):
+                 sides: Tuple[str, str], k: int, bits: int,
+                 qih=None, ctw: bool = False):
     """Both four-step stages + inter-stage twiddle on one [n1, n2] tile
     (arrays in, arrays out — shared by the grid-pipelined and the
-    explicit-DMA kernels).  tA/tB are accessors chunk-index -> plane."""
+    explicit-DMA kernels).  tA/tB are accessors chunk-index -> plane.
+
+    ctw (MFHE_SLICED_CTW=1): CANONICAL inter-stage twiddle — a full
+    R=2^64 Montgomery multiply (tables carry tw*2^64 mod q) instead of
+    the lazy R=2^32 form.  Costs ~8 extra VPU ops/element but feeds
+    stage B a 5-digit extraction instead of 6, cutting stage-B MXU work
+    by chunks_mid/chunks_d: the right trade when MXU is the binding
+    resource (co-issue machine), the wrong one on a serial machine."""
     axA = 0 if sides[0] == "left" else 1
     dcat = _data_digits(lo, hi, chunks_d, axA)
     diags = _sliced_dots(dcat, tA, chunks_t, sides[0])
     vh, vl = _fold_redc28(diags, qh, ql, qi28,
                           diag_bound=chunks_d * k * 127 * 127, bits=bits)
-    uh, ul = _tw_mul_lazy(vh, vl, twl, twh, qh, ql, qi32)
+    if ctw:
+        uh, ul = _montmul48(vh, vl, twh, twl, qh, ql, qih, qi32)
+    else:
+        uh, ul = _tw_mul_lazy(vh, vl, twl, twh, qh, ql, qi32)
     axB = 0 if sides[1] == "left" else 1
     ucat = _data_digits(ul, uh, chunks_mid, axB)
     diags2 = _sliced_dots(ucat, tB, chunks_t, sides[1])
@@ -1329,7 +1341,8 @@ def _sliced_tile(lo, hi, tA, tB, twl, twh, ql, qh, qi32, qi28, *,
 def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
                        sc_ref, olo_ref, ohi_ref,
                        *, chunks_d: int, chunks_t: int, chunks_mid: int,
-                       sides: Tuple[str, str], k: int, bits: int, bb: int):
+                       sides: Tuple[str, str], k: int, bits: int, bb: int,
+                       ctw: bool = False):
     """Both four-step stages + the inter-stage twiddle on one [n1, n2] tile
     (`bb` of them per grid cell), sliced-table fold design (see module
     comment above).
@@ -1340,6 +1353,10 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
     import os as _os
     _abl = _os.environ.get("MFHE_SLICED_ABLATE", "")
     _ilv = _os.environ.get("MFHE_SLICED_ILV", "") == "1" and bb > 1
+    if ctw and (_ilv or _abl):
+        raise ValueError("MFHE_SLICED_CTW is incompatible with the ILV/"
+                         "ablation experiment paths (they assume the lazy "
+                         "2^32-form twiddle tables)")
     ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
     qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
     if _ilv:
@@ -1371,12 +1388,22 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
             prev = (j, diags)
         _tail(*prev)
         return
+    qih = sc_ref[0, 0, 4]
     for j in range(bb):
         lo = dlo_ref[0, j]
         hi = dhi_ref[0, j]
         if _abl == "io":
             olo_ref[0, j] = lo
             ohi_ref[0, j] = hi
+            continue
+        if not _abl:
+            rh, rl = _sliced_tile(
+                lo, hi, lambda c: tA_ref[0, c], lambda c: tB_ref[0, c],
+                twl_ref[0, 0], twh_ref[0, 0], ql, qh, qi32, qi28,
+                chunks_d=chunks_d, chunks_t=chunks_t, chunks_mid=chunks_mid,
+                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw)
+            olo_ref[0, j] = rl
+            ohi_ref[0, j] = rh
             continue
         axA = 0 if sides[0] == "left" else 1
         dcat = _data_digits(lo, hi, chunks_d, axA)
@@ -1418,7 +1445,8 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
 def _sliced_dma_kernel(dlo_hbm, dhi_hbm, tA_ref, tB_ref, twl_ref, twh_ref,
                        sc_ref, olo_hbm, ohi_hbm,
                        *, chunks_d: int, chunks_t: int, chunks_mid: int,
-                       sides: Tuple[str, str], k: int, bits: int, B: int):
+                       sides: Tuple[str, str], k: int, bits: int, B: int,
+                       ctw: bool = False):
     """Explicit-DMA double-buffered variant of _sliced_ntt_kernel
     (MFHE_SLICED_DMA=1): grid is (L,) only; the B axis streams through a
     2-slot VMEM scratch ring with hand-issued async copies, so tile b+1's
@@ -1430,6 +1458,7 @@ def _sliced_dma_kernel(dlo_hbm, dhi_hbm, tA_ref, tB_ref, twl_ref, twh_ref,
     l = pl.program_id(0)
     ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
     qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
+    qih = sc_ref[0, 0, 4]
 
     def body(ilo, ihi, slo, shi, isem_l, isem_h, osem_l, osem_h):
         def in_lo(b, s):
@@ -1472,7 +1501,7 @@ def _sliced_dma_kernel(dlo_hbm, dhi_hbm, tA_ref, tB_ref, twl_ref, twh_ref,
                 ilo[s], ihi[s], lambda c: tA_ref[0, c], lambda c: tB_ref[0, c],
                 twl_ref[0, 0], twh_ref[0, 0], ql, qh, qi32, qi28,
                 chunks_d=chunks_d, chunks_t=chunks_t, chunks_mid=chunks_mid,
-                sides=sides, k=k, bits=bits)
+                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw)
             slo[s] = rl
             shi[s] = rh
             out_lo(b, s).start()
@@ -1551,7 +1580,7 @@ class SlicedStage:
         tch_spec = pl.BlockSpec((1, self.chunks_t, W, self.chunks_d * K),
                                 lambda l, r: (l, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, r: (l, 0, 0),
+        sc_spec = pl.BlockSpec((1, 1, 6), lambda l, r: (l, 0, 0),
                                memory_space=pltpu.SMEM)
         if self.side == "right":
             data_spec = pl.BlockSpec((1, tile, K), lambda l, r: (l, r, 0),
@@ -1675,7 +1704,7 @@ class SlicedInvCompose:
         tch_spec = pl.BlockSpec((1, self.chunks_t, W, self.chunks_d * K),
                                 lambda m, l: (l, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        sc_spec = pl.BlockSpec((1, 1, 4), lambda m, l: (l, 0, 0),
+        sc_spec = pl.BlockSpec((1, 1, 6), lambda m, l: (l, 0, 0),
                                memory_space=pltpu.SMEM)
         cc_spec = pl.BlockSpec((1, 1, 2), lambda m, l: (l, 0, 0),
                                memory_space=pltpu.SMEM)
@@ -1786,7 +1815,7 @@ class SlicedNttMulNtt:
         ti_spec = pl.BlockSpec((1, self.chunks_t, K, self.chunks_mid * K),
                                lambda l, r: (l, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, r: (l, 0, 0),
+        sc_spec = pl.BlockSpec((1, 1, 6), lambda l, r: (l, 0, 0),
                                memory_space=pltpu.SMEM)
         return pl.pallas_call(
             kern,
@@ -1857,9 +1886,17 @@ class SlicedFourStepNTT:
         bits = max(int(q).bit_length() for q in mods)
         self.chunks_d = -(-bits // CHUNK_BITS)
         self.chunks_t = self.chunks_d
-        # lazy twiddle output bound: 2q + q*2^(bits-32) -> bits+max(1,bits-31)
-        lazy_bits = bits + max(2, bits - 31)
-        self.chunks_mid = -(-lazy_bits // CHUNK_BITS)
+        import os
+        self.ctw = os.environ.get("MFHE_SLICED_CTW") == "1"
+        if self.ctw:
+            # canonical twiddle: stage B sees a < q value, chunks_d digits
+            self.chunks_mid = self.chunks_d
+            tw_pow = 64
+        else:
+            # lazy twiddle bound: 2q + q*2^(bits-32) -> bits+max(2,bits-31)
+            lazy_bits = bits + max(2, bits - 31)
+            self.chunks_mid = -(-lazy_bits // CHUNK_BITS)
+            tw_pow = 32
         t1f, t2f, t1i, t2i, twf, twi = _four_step_tables(plan)
         self._t1f = jnp.asarray(_slice_tables(t1f, mods, self.chunks_d))
         self._t2f = jnp.asarray(_slice_tables(t2f, mods, self.chunks_mid))
@@ -1869,9 +1906,9 @@ class SlicedFourStepNTT:
         tws_i = np.empty_like(twi)
         for l, q in enumerate(mods):
             q = int(q)
-            tws_f[l] = (twf[l].astype(object) * ((1 << 32) % q) % q
+            tws_f[l] = (twf[l].astype(object) * ((1 << tw_pow) % q) % q
                         ).astype(np.uint64)
-            tws_i[l] = (twi[l].astype(object) * ((1 << 32) % q) % q
+            tws_i[l] = (twi[l].astype(object) * ((1 << tw_pow) % q) % q
                         ).astype(np.uint64)
         self._twf = (jnp.asarray((tws_f & np.uint64(0xFFFFFFFF))
                                  .astype(np.uint32)),
@@ -1898,7 +1935,8 @@ class SlicedFourStepNTT:
         if os.environ.get("MFHE_SLICED_DMA") == "1":
             kern = functools.partial(
                 _sliced_dma_kernel, chunks_d=cA, chunks_t=self.chunks_t,
-                chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits, B=B)
+                chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits,
+                B=B, ctw=self.ctw)
             hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
             return pl.pallas_call(
                 kern,
@@ -1915,7 +1953,7 @@ class SlicedFourStepNTT:
                                        memory_space=pltpu.VMEM),
                           pl.BlockSpec((1, 1, n1, n2), lambda l: (l, 0, 0, 0),
                                        memory_space=pltpu.VMEM),
-                          pl.BlockSpec((1, 1, 4), lambda l: (l, 0, 0),
+                          pl.BlockSpec((1, 1, 6), lambda l: (l, 0, 0),
                                        memory_space=pltpu.SMEM)],
                 out_specs=(hbm_spec, hbm_spec),
                 out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
@@ -1925,7 +1963,8 @@ class SlicedFourStepNTT:
             )
         kern = functools.partial(
             _sliced_ntt_kernel, chunks_d=cA, chunks_t=self.chunks_t,
-            chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits, bb=bb)
+            chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits, bb=bb,
+            ctw=self.ctw)
         data_spec = pl.BlockSpec((1, bb, n1, n2), lambda l, b: (l, b, 0, 0),
                                  memory_space=pltpu.VMEM)
         tA_spec = pl.BlockSpec((1, self.chunks_t, n1, cA * n1),
@@ -1936,7 +1975,7 @@ class SlicedFourStepNTT:
                                memory_space=pltpu.VMEM)
         tw_spec = pl.BlockSpec((1, 1, n1, n2), lambda l, b: (l, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-        sc_spec = pl.BlockSpec((1, 1, 4), lambda l, b: (l, 0, 0),
+        sc_spec = pl.BlockSpec((1, 1, 6), lambda l, b: (l, 0, 0),
                                memory_space=pltpu.SMEM)
         alias = ({0: 0, 1: 1}
                  if os.environ.get("MFHE_SLICED_ALIAS") == "1" else {})

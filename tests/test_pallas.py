@@ -174,3 +174,25 @@ def test_sliced_dma_variant_bit_exact(setup, rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
     np.testing.assert_array_equal(np.asarray(base.inverse(want)),
                                   np.asarray(dma.inverse(want)))
+
+
+def test_sliced_ctw_variant_bit_exact(setup, rng, monkeypatch):
+    """MFHE_SLICED_CTW=1 (canonical R=2^64 inter-stage twiddle, 5-digit
+    stage B) == the lazy-twiddle kernel, both directions, and composes
+    with MFHE_SLICED_DMA=1."""
+    plan, _, _ = setup
+    base = pn.SlicedFourStepNTT(plan)
+    monkeypatch.setenv("MFHE_SLICED_CTW", "1")
+    ctw = pn.SlicedFourStepNTT(plan)
+    monkeypatch.setenv("MFHE_SLICED_DMA", "1")
+    both = pn.SlicedFourStepNTT(plan)
+    x = np.stack([rng.integers(0, q, size=(2, plan.n), dtype=np.uint64)
+                  for q in plan.moduli])
+    xj = jnp.asarray(x)
+    want = base.forward(xj)
+    np.testing.assert_array_equal(np.asarray(want),
+                                  np.asarray(ctw.forward(xj)))
+    np.testing.assert_array_equal(np.asarray(want),
+                                  np.asarray(both.forward(xj)))
+    np.testing.assert_array_equal(np.asarray(base.inverse(want)),
+                                  np.asarray(ctw.inverse(want)))
