@@ -79,24 +79,59 @@ def main():
         lo = jnp.asarray(np.asarray(lo).reshape(L, B, plan.n1, plan.n2))
         hi = jnp.asarray(np.asarray(hi).reshape(L, B, plan.n1, plan.n2))
 
-    t0 = time.time()
-    a, b = fwd(lo, hi)
-    _ = jax.device_get(a.ravel()[:1])
-    sys.stderr.write(f"[bench] compile+first run: {time.time()-t0:.1f}s\n")
+    def measure(fwd, inv, iters, tag):
+        t0 = time.time()
+        a, b = fwd(lo, hi)
+        _ = jax.device_get(a.ravel()[:1])
+        sys.stderr.write(f"[bench] {tag}: compile+first run "
+                         f"{time.time()-t0:.1f}s\n")
+        # chained steady-state timing, fenced by a readback
+        t0 = time.perf_counter()
+        a, b = lo, hi
+        for _ in range(iters):
+            a, b = fwd(a, b)
+        _ = jax.device_get(a.ravel()[:1])
+        sec = (time.perf_counter() - t0) / iters
+        sys.stderr.write(f"[bench] {tag}: forward {sec*1e3:.2f} ms "
+                         f"for {L*B} NTTs ({(L*B)/sec:,.0f}/s)\n")
+        # correctness fence: roundtrip must be exact
+        back = np.asarray(join_u64(*inv(*fwd(lo, hi)))).reshape(x.shape)
+        assert (back == x).all(), f"NTT roundtrip mismatch ({tag})"
+        return (L * B) / sec
 
-    # chained steady-state timing, fenced by a readback
-    t0 = time.perf_counter()
-    a, b = lo, hi
-    for _ in range(ITERS):
-        a, b = fwd(a, b)
-    _ = jax.device_get(a.ravel()[:1])
-    sec = (time.perf_counter() - t0) / ITERS
-    ntts_per_sec = (L * B) / sec
-    sys.stderr.write(f"[bench] forward: {sec*1e3:.2f} ms for {L*B} NTTs\n")
+    ntts_per_sec = measure(fwd, inv, ITERS, impl)
+    variants = {impl: round(ntts_per_sec, 1)}
+    best_tag = impl
 
-    # correctness fence: roundtrip must be exact
-    back = np.asarray(join_u64(*inv(*fwd(lo, hi)))).reshape(x.shape)
-    assert (back == x).all(), "NTT roundtrip mismatch"
+    # Auto-variant selection (round 3): the fastest Mosaic schedule for the
+    # sliced kernel depends on real-chip co-issue behaviour that can only be
+    # measured on hardware; try the explicit-DMA double-buffered and
+    # canonical-twiddle variants and report the best.  BENCH_AUTOVAR=0 skips.
+    if (impl == "sliced" and os.environ.get("BENCH_AUTOVAR", "1") == "1"
+            and jax.default_backend() != "cpu"):
+        for tag, env in (("sliced+dma", {"MFHE_SLICED_DMA": "1"}),
+                         ("sliced+ctw", {"MFHE_SLICED_CTW": "1"}),
+                         ("sliced+ctw+dma", {"MFHE_SLICED_CTW": "1",
+                                             "MFHE_SLICED_DMA": "1"})):
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                ntt_v = SlicedFourStepNTT(plan)
+                v = measure(jax.jit(ntt_v.forward_pair4),
+                            jax.jit(ntt_v.inverse_pair4),
+                            max(10, ITERS // 2), tag)
+                variants[tag] = round(v, 1)
+                if v > ntts_per_sec:
+                    ntts_per_sec, best_tag = v, tag
+            except Exception as e:  # variant broken on this toolchain: skip
+                sys.stderr.write(f"[bench] {tag} failed: {e}\n")
+                variants[tag] = None
+            finally:
+                for k, old in saved.items():
+                    if old is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = old
 
     extra = {}
     if os.environ.get("MFHE_BENCH_REF", "1") == "1":
@@ -146,6 +181,8 @@ def main():
         "value": round(ntts_per_sec, 1),
         "unit": "NTT/s",
         "vs_baseline": round(ntts_per_sec / 1_000_000.0, 6),
+        "ntt_variant": best_tag,
+        "ntt_variants": variants,
         **extra,
     }))
 

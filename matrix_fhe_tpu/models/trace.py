@@ -126,7 +126,8 @@ def _use_sliced_cgemm() -> bool:
     if env in ("sliced", "xla"):
         return env == "sliced"
     import jax as _jax
-    return _jax.default_backend() == "tpu"
+    from ..ops._backend import tpu_kernels_default
+    return tpu_kernels_default()
 
 
 import functools as _functools

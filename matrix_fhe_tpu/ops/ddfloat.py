@@ -44,7 +44,8 @@ def fast_float_default() -> bool:
     env = os.environ.get("MFHE_FAST_FLOAT", "")
     if env in ("0", "1"):
         return env == "1"
-    return jax.default_backend() == "tpu"
+    from ._backend import tpu_kernels_default
+    return tpu_kernels_default()
 
 
 def dd_transforms_default() -> bool:

@@ -44,6 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _backend
 from .pallas_ntt import CHUNK_BITS, _sum_words
 
 U32 = jnp.uint32
@@ -113,7 +114,8 @@ def fp_transforms_default() -> bool:
     env = os.environ.get("MFHE_FP_TRANSFORMS", "")
     if env in ("0", "1"):
         return env == "1"
-    return jax.default_backend() == "tpu"
+    from ._backend import tpu_kernels_default
+    return tpu_kernels_default()
 
 
 def _fp_cmatmul_kernel(xrl_ref, xrh_ref, xil_ref, xih_ref, tr_ref, ti_ref,
@@ -261,7 +263,7 @@ class ExactComplexMatmul:
             out_specs=(out,) * 8,
             out_shape=tuple(jax.ShapeDtypeStruct((1, W, M), jnp.uint32)
                             for _ in range(8)),
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
         )
 
     @staticmethod

@@ -58,7 +58,8 @@ class XNTT:
             raise ValueError(f"unknown ring {ring!r}")
         self._fwd = BatchedModTransform(fwd, params.moduli, side="right")
         self._inv = BatchedModTransform(inv, params.moduli, side="right")
-        self._use_pallas = (jax.default_backend() == "tpu"
+        from ._backend import tpu_kernels_default
+        self._use_pallas = (tpu_kernels_default()
                             if use_pallas is None else use_pallas)
         self._fwd_p = self._inv_p = None
         if self._use_pallas:

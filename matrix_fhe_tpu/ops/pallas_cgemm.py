@@ -31,6 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _backend
 from .modmath import MontConsts
 from .pallas_ntt import (CHUNK_BITS, _data_digits, _fold_redc28,
                          _montmul48, _sliced_params, U32,
@@ -239,7 +240,7 @@ class SlicedCGemm:
             in_specs=[spec] * 8 + [sc_spec, cj_spec],
             out_specs=(spec,) * 4,
             out_shape=(sh,) * 4,
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
             compiler_params=_sliced_params(2),
         )
 

@@ -43,6 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _backend
 from .modmath import MontConsts
 from .ntt_large import FourStepPlan, _find_generator
 
@@ -535,7 +536,7 @@ class PallasNttMulNtt:
             out_specs=(data_spec, data_spec),
             out_shape=(jax.ShapeDtypeStruct((L, rows, K), jnp.uint32),
                        jax.ShapeDtypeStruct((L, rows, K), jnp.uint32)),
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
         )
 
     def __call__(self, d_lo, d_hi, s_lo, s_hi):
@@ -854,7 +855,7 @@ class PallasStage:
             out_specs=(out_spec, out_spec),
             out_shape=(jax.ShapeDtypeStruct(out_shape, jnp.uint32),
                        jax.ShapeDtypeStruct(out_shape, jnp.uint32)),
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
         )
 
     def __call__(self, d_lo: jnp.ndarray, d_hi: jnp.ndarray
@@ -963,7 +964,7 @@ class PallasFourStepNTT:
             out_specs=(data_spec, data_spec),
             out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
                        jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
         )
 
     @functools.lru_cache(maxsize=8)
@@ -1001,7 +1002,7 @@ class PallasFourStepNTT:
                        jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
             scratch_shapes=[pltpu.VMEM((2, 4, n1, n2), jnp.uint32),
                             pltpu.VMEM((2, 4, n1, n2), jnp.uint32)],
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
         )
 
     def _run(self, lo, hi, direction):
@@ -1601,7 +1602,7 @@ class SlicedStage:
             out_specs=(out_spec, out_spec),
             out_shape=(jax.ShapeDtypeStruct(out_shape, jnp.uint32),
                        jax.ShapeDtypeStruct(out_shape, jnp.uint32)),
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
             compiler_params=_sliced_params(2),
         )
 
@@ -1721,7 +1722,7 @@ class SlicedInvCompose:
             out_shape=(jax.ShapeDtypeStruct((W, rows), jnp.uint32),
                        jax.ShapeDtypeStruct((W, rows), jnp.uint32),
                        jax.ShapeDtypeStruct((W, rows), jnp.float32)),
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
             compiler_params=_sliced_params(),
         )
 
@@ -1825,7 +1826,7 @@ class SlicedNttMulNtt:
             out_specs=(data_spec, data_spec),
             out_shape=(jax.ShapeDtypeStruct((L, rows, K), jnp.uint32),
                        jax.ShapeDtypeStruct((L, rows, K), jnp.uint32)),
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
             compiler_params=_sliced_params(2),
         )
 
@@ -1958,7 +1959,7 @@ class SlicedFourStepNTT:
                 out_specs=(hbm_spec, hbm_spec),
                 out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
                            jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
-                interpret=jax.default_backend() == "cpu",
+                interpret=_backend.pallas_interpret_default(),
                 compiler_params=_sliced_params(1),
             )
         kern = functools.partial(
@@ -1987,7 +1988,7 @@ class SlicedFourStepNTT:
             out_specs=(data_spec, data_spec),
             out_shape=(jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32),
                        jax.ShapeDtypeStruct((L, B, n1, n2), jnp.uint32)),
-            interpret=jax.default_backend() == "cpu",
+            interpret=_backend.pallas_interpret_default(),
             compiler_params=_sliced_params(2),
             input_output_aliases=alias,
         )

@@ -95,17 +95,18 @@ class BasisExtender:
         rp, k = self.scaled_residues(x)
         suf = (1,) * (x.ndim - 1)
         ku = k.astype(jnp.uint64)
-        outs = []
-        for r_i, r in enumerate(self.dst):
-            rr = np.uint64(r)
-            qi = np.uint64(self._rd_qinv[r_i])
-            # r'_l may exceed r: reduce first (r'_l < q_l < 2^48)
-            t = rp % rr
-            m_col = jnp.asarray(self._m_mod_r_mont[:, r_i].reshape(
-                (-1,) + suf))
-            terms = mm.mont_mul(t, m_col, rr, qi)
-            acc = jnp.sum(terms, axis=0) % rr
-            kq = mm.mont_mul(ku % rr, jnp.asarray(
-                np.uint64(self._qsrc_mod_r_mont[r_i])), rr, qi)
-            outs.append(mm.sub_mod(acc, kq, rr))
-        return jnp.stack(outs)
+        # broadcast over BOTH limb axes: [Ls, Ld, ...] elementwise + one
+        # reduction; XLA fuses the chain so the [Ls, Ld, ...] intermediate
+        # never materializes, and the HLO is Ld x smaller than the unrolled
+        # per-target loop this replaces.
+        rd0 = jnp.asarray(self._rd.reshape((-1,) + suf))          # [Ld, ...]
+        qi0 = jnp.asarray(self._rd_qinv.reshape((-1,) + suf))
+        # r'_l may exceed r: reduce first (r'_l < q_l < 2^48)
+        t = rp[:, None] % rd0[None]                               # [Ls, Ld, ...]
+        m = jnp.asarray(self._m_mod_r_mont.reshape(
+            self._m_mod_r_mont.shape + suf))
+        terms = mm.mont_mul(t, m, rd0[None], qi0[None])
+        acc = jnp.sum(terms, axis=0) % rd0                        # sum < Ld*2^48
+        kq = mm.mont_mul(ku[None] % rd0, jnp.asarray(
+            self._qsrc_mod_r_mont.reshape((-1,) + suf)), rd0, qi0)
+        return mm.sub_mod(acc, kq, rd0)

@@ -55,7 +55,8 @@ class WTransform:
         # limb-0-only inverse for the centered test path (HE.cu:1101)
         self._inv0 = BatchedModTransform(t.w_inv[:1], params.moduli[:1],
                                          side="left")
-        self._use_pallas = (jax.default_backend() == "tpu"
+        from ._backend import tpu_kernels_default
+        self._use_pallas = (tpu_kernels_default()
                             if use_pallas is None else use_pallas)
         self._fwd_p = self._inv_p = None
         if self._use_pallas:

@@ -45,7 +45,8 @@ class DistFourStepNTT:
         if plan.n2 % self.d or plan.n1 % self.d:
             raise ValueError("n1 and n2 must be divisible by the mesh axis")
         self.local = FourStepNTT(plan)  # reuse tables/chunks; stages re-dispatched
-        self._use_pallas = (jax.default_backend() == "tpu"
+        from ..ops._backend import tpu_kernels_default
+        self._use_pallas = (tpu_kernels_default()
                             if use_pallas is None else use_pallas)
         if self._use_pallas:
             from ..ops.modmatmul import limb_runs

@@ -68,3 +68,82 @@ def load_matmul_tensor(path: str, params: GLParams):
     _check(z, params)
     return MatmulTensor(**{k: jnp.asarray(z[k])
                            for k in MatmulTensor._fields})
+
+
+# -- switching / rotation keys (models/keyswitch.py) -------------------------
+#
+# Switching keys live over the extended QP basis, so they are fingerprinted
+# against the RelinContext's ext_params (Q chain AND P basis): a key restored
+# into a context with a different P basis is garbage, not just mismatched.
+
+def _pack_relin(rk, prefix: str = "") -> dict:
+    arrs = {f"{prefix}dnum": np.asarray(len(rk.b))}
+    for i, (b, a) in enumerate(zip(rk.b, rk.a)):
+        arrs[f"{prefix}b{i}"] = np.asarray(b)
+        arrs[f"{prefix}a{i}"] = np.asarray(a)
+    return arrs
+
+
+def _unpack_relin(z, prefix: str = ""):
+    from ..models.keyswitch import RelinKey
+    d = int(z[f"{prefix}dnum"])
+    return RelinKey(
+        b=tuple(jnp.asarray(z[f"{prefix}b{i}"]) for i in range(d)),
+        a=tuple(jnp.asarray(z[f"{prefix}a{i}"]) for i in range(d)))
+
+
+def save_relin_key(path: str, rk, rc) -> None:
+    """Checkpoint a switching key (RelinKey: dnum (b, a) digit pairs)."""
+    np.savez_compressed(path, fp=params_fingerprint(rc.ext_params),
+                        **_pack_relin(rk))
+
+
+def load_relin_key(path: str, rc):
+    z = np.load(path)
+    _check(z, rc.ext_params)
+    return _unpack_relin(z)
+
+
+def save_galois_keys(path: str, gk) -> None:
+    """Checkpoint a GaloisKeys / XGaloisKeys set: only the per-index
+    switching keys travel; permutation/sign tables are pure functions of
+    the parameter set and are re-derived on load."""
+    arrs = {"idx": np.asarray(sorted(gk._keys))}
+    for j in sorted(gk._keys):
+        arrs.update(_pack_relin(gk._keys[j], prefix=f"k{j}_"))
+    np.savez_compressed(path, fp=params_fingerprint(gk.rc.ext_params),
+                        **arrs)
+
+
+def _load_key_dict(path: str, rc) -> dict:
+    z = np.load(path)
+    _check(z, rc.ext_params)
+    return {int(j): _unpack_relin(z, prefix=f"k{int(j)}_")
+            for j in z["idx"]}
+
+
+def load_galois_keys(path: str, rc):
+    """Restore a W-axis GaloisKeys set into `rc` (no key generation)."""
+    from ..models.keyswitch import GaloisKeys, w_automorphism_perm
+    keys = _load_key_dict(path, rc)
+    gk = object.__new__(GaloisKeys)
+    gk.rc = rc
+    gk._keys = keys
+    gk._perms = {j: jnp.asarray(w_automorphism_perm(rc.ctx.params, j))
+                 for j in keys}
+    return gk
+
+
+def load_x_galois_keys(path: str, rc):
+    """Restore an X-axis XGaloisKeys set into `rc`."""
+    from ..models.keyswitch import XGaloisKeys, x_automorphism_maps
+    keys = _load_key_dict(path, rc)
+    gk = object.__new__(XGaloisKeys)
+    gk.rc = rc
+    gk.x_dim = rc.x_dim
+    gk._keys = keys
+    gk._maps = {}
+    for k in keys:
+        gi, sg, _perm = x_automorphism_maps(gk.x_dim, k)
+        gk._maps[k] = (jnp.asarray(gi), jnp.asarray(sg < 0))
+    return gk

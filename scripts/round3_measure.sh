@@ -28,6 +28,12 @@ timeout 2400 python examples/matmul.py 2>&1 | tail -6 | tee -a $LOG
 log "5. keyswitch phase table at mid"
 timeout 2400 python scripts/ks_phases.py mid 5 2>&1 | tail -12 | tee -a $LOG
 
+log "5b. full 11-limb ref-chain relinearization (streamed, VERDICT r2 #3)"
+timeout 3000 python examples/relinearize.py ref 2>&1 | tail -8 | tee -a $LOG
+
+log "5c. gl2 ciphertext-in/ciphertext-out GEMM at mid (VERDICT r2 #2)"
+timeout 3000 python examples/matmul_gl2.py mid 2>&1 | tail -8 | tee -a $LOG
+
 log "6. roundtrip exactness through the words-chained encode/decode (ref)"
 timeout 2400 python - <<'EOF' 2>&1 | tail -3 | tee -a $LOG
 import numpy as np, jax.numpy as jnp

@@ -397,3 +397,43 @@ def test_rotate_multiply_rescale_composition(setup, rng):
     want = ctx2.decrypt_to_eval(resc, sk2)[:, jnp.asarray(perm)]
     diff = mm.sub_mod(got, want, ctx2._c4["q"])
     assert _composed_mag(ctx2, diff, p2.moduli) < 100_000
+
+
+def test_switch_key_serialization(setup, rng, tmp_path):
+    """Checkpoint/resume of the switching-key material (relin + Galois):
+    the subsystem the reference has none of (SURVEY §5) extended to the
+    round-2/3 key types.  Restored keys must be bit-identical and the
+    rehydrated Galois sets (perm tables re-derived, no keygen) must apply
+    identically."""
+    from matrix_fhe_tpu.models.keyswitch import GaloisKeys, XGaloisKeys
+    from matrix_fhe_tpu.utils import serialization as ser
+
+    p, ctx, rc, sk, rlk = setup
+    path = str(tmp_path / "rlk.npz")
+    ser.save_relin_key(path, rlk, rc)
+    rlk2 = ser.load_relin_key(path, rc)
+    for x, y in zip(rlk.b + rlk.a, rlk2.b + rlk2.a):
+        assert (np.asarray(x) == np.asarray(y)).all()
+
+    s_coeff = jnp.asarray(refrng.ternary_secret(p))
+    m = jnp.asarray(np.stack(
+        [rng.integers(0, 1 << 20, size=(p.phi, p.n, p.n)).astype(np.uint64)
+         for _ in p.moduli]))
+    ct = ctx.encrypt(m, sk)
+
+    j = next(c for c in range(2, p.p) if np.gcd(c, p.p) == 1)
+    gk = GaloisKeys(rc, s_coeff, [j], jax.random.key(31))
+    gpath = str(tmp_path / "gk.npz")
+    ser.save_galois_keys(gpath, gk)
+    gk2 = ser.load_galois_keys(gpath, rc)
+    a1, a2 = gk.apply(ct, j), gk2.apply(ct, j)
+    assert (np.asarray(a1.b) == np.asarray(a2.b)).all()
+    assert (np.asarray(a1.a) == np.asarray(a2.a)).all()
+
+    xg = XGaloisKeys(rc, s_coeff, [3], jax.random.key(32))
+    xpath = str(tmp_path / "xg.npz")
+    ser.save_galois_keys(xpath, xg)
+    xg2 = ser.load_x_galois_keys(xpath, rc)
+    b1, b2 = xg.apply(ct, 3), xg2.apply(ct, 3)
+    assert (np.asarray(b1.b) == np.asarray(b2.b)).all()
+    assert (np.asarray(b1.a) == np.asarray(b2.a)).all()
