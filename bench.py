@@ -79,7 +79,7 @@ def main():
         lo = jnp.asarray(np.asarray(lo).reshape(L, B, plan.n1, plan.n2))
         hi = jnp.asarray(np.asarray(hi).reshape(L, B, plan.n1, plan.n2))
 
-    def measure(fwd, inv, iters, tag):
+    def measure(fwd, inv, iters, tag, lo=lo, hi=hi, x=x):
         t0 = time.time()
         a, b = fwd(lo, hi)
         _ = jax.device_get(a.ravel()[:1])
@@ -134,6 +134,34 @@ def main():
                         os.environ[k] = old
 
     extra = {}
+
+    # TPU-native width variant (round 3): the baseline pins N=2^16, L=16
+    # but not the modulus width.  28-bit primes (16 x 28 = 448 total bits —
+    # still MORE precision than the reference's 395-bit Q chain) cut the
+    # int8 digit grid from 5x5 to 4x4, the arithmetic floor by 36%.
+    # Reported as an extra metric; the headline stays at the
+    # reference-matching 35-bit width.
+    if (os.environ.get("BENCH_28BIT", "1") == "1"
+            and jax.default_backend() != "cpu"):
+        try:
+            primes28 = generate_primes_1mod(L, 28, 2 * N)
+            plan28 = FourStepPlan.make(N, primes28)
+            n28 = SlicedFourStepNTT(plan28)
+            x28 = np.stack([rng.integers(0, q, size=(B, N), dtype=np.uint64)
+                            for q in primes28])
+            lo28, hi28 = split_u64(jnp.asarray(x28))
+            lo28 = jnp.asarray(np.asarray(lo28).reshape(
+                L, B, plan28.n1, plan28.n2))
+            hi28 = jnp.asarray(np.asarray(hi28).reshape(
+                L, B, plan28.n1, plan28.n2))
+            v28 = measure(jax.jit(n28.forward_pair4),
+                          jax.jit(n28.inverse_pair4),
+                          max(10, ITERS // 2), "sliced-28bit",
+                          lo=lo28, hi=hi28, x=x28)
+            extra["ntt_28bit_per_sec"] = round(v28, 1)
+        except Exception as e:  # never let the extra metric kill the bench
+            sys.stderr.write(f"[bench] 28-bit variant failed: {e}\n")
+
     if os.environ.get("MFHE_BENCH_REF", "1") == "1":
         # ref-preset regression gate (VERDICT r1 #5): the flagship
         # encode->encrypt->decrypt->decode pipeline at full reference

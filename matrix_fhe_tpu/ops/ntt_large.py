@@ -42,14 +42,26 @@ def _is_prime(x: int) -> bool:
 
 
 def generate_primes_1mod(count: int, bits: int, modulus: int) -> Tuple[int, ...]:
-    """`count` distinct primes == 1 (mod modulus) near 2^bits (Lattigo-style,
-    as in config.h:27-31 but with a caller-chosen congruence)."""
+    """`count` distinct primes == 1 (mod modulus) of bit length exactly
+    `bits` (searched DOWNWARD from 2^bits, Lattigo-style, matching the
+    reference's convention: its "35-bit" moduli are < 2^35, config.h:27-31).
+
+    The width drives the per-modmul digit grid (ceil(bits/7) int8 digits a
+    side), so a "35-bit" request must not return 36-bit primes — the old
+    upward search did exactly that and silently paid a 6x6 grid where the
+    5x5 one suffices (docs/PERF.md round 3)."""
     primes = []
     q = ((1 << bits) // modulus) * modulus + 1
-    while len(primes) < count:
+    while q >= (1 << bits):
+        q -= modulus
+    floor = 1 << (bits - 1)
+    while len(primes) < count and q > floor:
         if _is_prime(q):
             primes.append(q)
-        q += modulus
+        q -= modulus
+    if len(primes) < count:
+        raise ValueError(
+            f"not enough {bits}-bit primes == 1 mod {modulus}")
     return tuple(primes)
 
 

@@ -76,3 +76,15 @@ def test_prime_generator():
     assert len(set(ps)) == 3
     for q in ps:
         assert (q - 1) % (1 << 17) == 0 and q.bit_length() in (35, 36)
+
+
+def test_prime_generator_width_contract():
+    """generate_primes_1mod(bits=k) must return bit-length-EXACTLY-k primes:
+    the width drives the int8 digit grid (ceil(bits/7) a side), and the old
+    upward search silently returned (k+1)-bit primes — a 6x6 grid where 5x5
+    suffices (docs/PERF.md round 3)."""
+    from matrix_fhe_tpu.ops.ntt_large import generate_primes_1mod
+    for bits, m in ((35, 1 << 17), (28, 1 << 17), (23, 1 << 11)):
+        for q in generate_primes_1mod(4, bits, m):
+            assert int(q).bit_length() == bits
+            assert q % m == 1
