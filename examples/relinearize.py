@@ -53,7 +53,11 @@ def main():
           f"P primes={p.p_moduli or 'generated'}")
     t0 = time.time()
     ctx = HEContext(p, ring="nega")
-    rc = RelinContext(ctx)
+    # MFHE_AUTO_P=1: grid-aware generated P basis instead of the
+    # reference's parity-pinned reserved primes — at ref: 14 x 28-bit
+    # P, dnum=1, keys 1.88 -> 0.84 GB (docs/PERF.md round 3)
+    auto_p = os.environ.get("MFHE_AUTO_P") == "1"
+    rc = RelinContext(ctx, p_moduli="auto" if auto_p else None)
     sk = ctx.generate_secret_key()
     s_coeff = refrng.ternary_secret(p)
     rlk = rc.gen_relin_key(jnp.asarray(s_coeff), jax.random.key(5))
@@ -73,7 +77,10 @@ def main():
 
     # big chains stream the digit loop (bounded peak HBM; see docstring);
     # small chains keep the fused single-jit graph
-    streamed = preset == "ref" or os.environ.get("MFHE_RELIN_STREAM") == "1"
+    # MFHE_RELIN_STREAM=1/0 overrides; default: stream at "ref" (the
+    # pinned-P fused graph needs ~7.5 GB of transients there)
+    streamed = (os.environ.get("MFHE_RELIN_STREAM")
+                or ("1" if preset == "ref" else "0")) == "1"
     mul = (rc.multiply_relinearize_streamed if streamed
            else rc.multiply_relinearize)
     print(f"[relin] path = {'streamed' if streamed else 'fused'}")

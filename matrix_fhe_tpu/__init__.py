@@ -35,6 +35,21 @@ import jax as _jax
 # This must happen before any tracing; importing the package opts in.
 _jax.config.update("jax_enable_x64", True)
 
+# Mosaic kernel payloads embed full Python tracebacks as MLIR locations by
+# default, so two instances of the SAME kernel constructed at different call
+# sites serialize to different bytes — every transform instance then misses
+# the XLA/Mosaic compile caches (measured: the ref roundtrip and keyswitch
+# pipelines shared ZERO payloads, docs/PERF.md round 3).  Collapsing
+# locations to the top frame makes structurally-identical kernels
+# byte-identical: one Mosaic compile each, shared across programs, presets
+# and re-runs.  Opt back into full tracebacks (for kernel debugging) with
+# MFHE_FULL_TRACEBACK_LOCS=1.
+if _os.environ.get("MFHE_FULL_TRACEBACK_LOCS", "0") != "1":
+    try:  # flag name may move between JAX versions
+        _jax.config.update("jax_include_full_tracebacks_in_locations", False)
+    except Exception:  # pragma: no cover - version drift
+        pass
+
 # Persistent XLA compilation cache: the chunked-matmul pipelines are large
 # graphs; caching makes repeated processes (bench, drivers, tests) skip the
 # one-time compile.  Opt out with MATRIX_FHE_NO_XLA_CACHE=1.

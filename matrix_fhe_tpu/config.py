@@ -70,16 +70,31 @@ def _is_prime(x: int) -> bool:
     return True
 
 
-def generate_ntt_primes(count: int, bits: int, n: int, p: int) -> Tuple[int, ...]:
+def generate_ntt_primes(count: int, bits: int, n: int, p: int,
+                        below: bool = False) -> Tuple[int, ...]:
     """Find `count` distinct primes q == 1 (mod lcm(4n, p)) near 2^bits.
 
     Mirrors the constraint in config.h:27-31 (Lattigo-style prime search):
     both the 4n-th X-axis root of unity and the order-p W-axis root must
-    exist mod q.
+    exist mod q.  `below=True` searches downward so every prime has bit
+    length exactly `bits` (the width drives the int8 digit grid; see
+    ops/ntt_large.generate_primes_1mod).
     """
     m = math.lcm(4 * n, p)
     primes = []
     q = ((1 << bits) // m) * m + 1
+    if below:
+        while q >= (1 << bits):
+            q -= m
+        floor = 1 << (bits - 1)
+        while len(primes) < count and q > floor:
+            if _is_prime(q):
+                primes.append(q)
+            q -= m
+        if len(primes) < count:
+            raise ValueError(
+                f"not enough {bits}-bit primes == 1 mod {m}")
+        return tuple(primes)
     while len(primes) < count:
         if q.bit_length() > bits + 1:
             raise ValueError("prime search overflow; lower count or raise bits")

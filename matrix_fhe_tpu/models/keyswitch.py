@@ -49,17 +49,82 @@ class RelinKey(NamedTuple):
     a: Tuple[jnp.ndarray, ...]
 
 
+def _greedy_groups(q_moduli: Sequence[int], big_p: int
+                   ) -> List[Tuple[int, ...]]:
+    """Consecutive limb groups with product < P (the gadget digit bound)."""
+    groups: List[Tuple[int, ...]] = []
+    cur: List[int] = []
+    prod = 1
+    for l, q in enumerate(q_moduli):
+        if cur and prod * q >= big_p:
+            groups.append(tuple(cur))
+            cur, prod = [], 1
+        cur.append(l)
+        prod *= q
+    groups.append(tuple(cur))
+    return groups
+
+
+def _grid(bits: int) -> int:
+    """Relative MXU MAC weight of one limb in the stage kernels: the int8
+    digit grid is ceil(bits/7) digits a side (ops/pallas_ntt.py)."""
+    d = -(-bits // 7)
+    return d * d
+
+
 def _default_p_moduli(params: GLParams) -> Tuple[int, ...]:
+    """Choose the key-switch extension basis P grid-aware (round 3).
+
+    The dominant key-switch cost is dnum x (W-CRT + X-NTT over the full QP
+    basis), and each limb's transform cost scales with its int8 digit grid
+    ceil(bits/7)^2 — so both the P prime WIDTH (44-bit primes pay 7x7
+    grids where 35-bit pay 5x5) and the P SIZE (bigger P -> larger limb
+    groups -> smaller dnum, but more P limbs per transform) are free
+    parameters the hardware cares about.  Search the small (width, count)
+    space for the basis minimizing  dnum * sum(grid(limb) for limb in QP)
+    subject to the noise guarantee P > every group product.  At "mid"
+    (Q = 45+35+35+35) this picks 5 x 35-bit P -> dnum=1, 2.2x cheaper on
+    the cost model than the previous 3 x 44-bit default (dnum=2) with 36%
+    smaller keys.  The reference pins its own 3 reserved P primes
+    (config.h:43-52); presets with explicit p_moduli keep them."""
     if params.p_moduli:
         return tuple(int(q) for q in params.p_moduli)
-    # generate a P basis disjoint from Q, sized ~ the Q primes
-    bits = max(int(q).bit_length() for q in params.moduli)
-    cand = generate_ntt_primes(len(params.moduli) + 3, bits - 1,
-                               params.n, params.p)
-    ps = [q for q in cand if q not in params.moduli][:3]
-    if len(ps) < 2:
-        raise ValueError("could not find disjoint P primes")
-    return tuple(ps)
+    qs = [int(q) for q in params.moduli]
+    q_bits = [q.bit_length() for q in qs]
+    q_cost = sum(_grid(b) for b in q_bits)
+    widths = sorted({w for w in
+                     (28, 35, 42, max(q_bits) - 1, *q_bits) if w >= 21})
+    best = None
+    for w in widths:
+        try:
+            cand = generate_ntt_primes(len(qs) + 6, w, params.n, params.p,
+                                       below=True)
+        except ValueError:
+            continue
+        pool = [q for q in cand if q not in qs]
+        for k in range(2, min(len(pool), len(qs) + 3) + 1):
+            ps = pool[:k]
+            big_p = 1
+            for q in ps:
+                big_p *= q
+            groups = _greedy_groups(qs, big_p)
+            if any(_prod(qs[l] for l in g) >= big_p for g in groups):
+                continue
+            cost = len(groups) * (q_cost
+                                  + sum(_grid(q.bit_length()) for q in ps))
+            key = (cost, k, sum(q.bit_length() for q in ps))
+            if best is None or key < best[0]:
+                best = (key, tuple(ps))
+    if best is None:
+        raise ValueError("could not find a valid P basis")
+    return best[1]
+
+
+def _prod(it) -> int:
+    out = 1
+    for v in it:
+        out *= v
+    return out
 
 
 class RelinContext:
@@ -80,8 +145,14 @@ class RelinContext:
         self.ctx = ctx
         p = ctx.params
         self.q_moduli = tuple(int(q) for q in p.moduli)
-        self.p_moduli = (tuple(int(q) for q in p_moduli) if p_moduli
-                         else _default_p_moduli(p))
+        if p_moduli == "auto":  # grid-aware search even when the preset
+            # pins p_moduli (e.g. perf runs at "ref" without the parity P)
+            self.p_moduli = _default_p_moduli(
+                dataclasses.replace(p, p_moduli=()))
+        elif p_moduli:
+            self.p_moduli = tuple(int(q) for q in p_moduli)
+        else:
+            self.p_moduli = _default_p_moduli(p)
         self.qp_moduli = self.q_moduli + self.p_moduli
         self.L = len(self.q_moduli)
         self.K = len(self.p_moduli)
@@ -89,16 +160,7 @@ class RelinContext:
         for q in self.p_moduli:
             self.big_p *= q
         # limb groups: consecutive runs with product < P (digit bound)
-        groups: List[Tuple[int, ...]] = []
-        cur: List[int] = []
-        prod = 1
-        for l, q in enumerate(self.q_moduli):
-            if cur and prod * q >= self.big_p:
-                groups.append(tuple(cur))
-                cur, prod = [], 1
-            cur.append(l)
-            prod *= q
-        groups.append(tuple(cur))
+        groups = _greedy_groups(self.q_moduli, self.big_p)
         for g in groups:  # noise guarantee: P must exceed each group product
             gp = 1
             for l in g:

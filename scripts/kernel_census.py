@@ -29,11 +29,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _payloads(mod):
+    sites = re.findall(
+        r'@tpu_custom_call.*?backend_config\s*=\s*"((?:[^"\\]|\\.)*)"'
+        r'.*?->\s*([^\n{]*)', mod)
+    if not sites:  # attribute form differs between versions; fall back
+        sites = [(m_, "?") for m_ in re.findall(
+            r'payload[^"]*"((?:[^"\\]|\\.)*)"', mod)]
+    by_payload = collections.Counter()
+    shape_of = {}
+    for cfg, out in sites:
+        h = hashlib.sha256(cfg.encode()).hexdigest()[:12]
+        by_payload[h] += 1
+        shape_of.setdefault(h, out.strip()[:90])
+    return by_payload, shape_of
+
+
+def _report(tag, mod):
+    by_payload, shape_of = _payloads(mod)
+    print(f"[{tag}] module_bytes={len(mod)}")
+    print(f"[{tag}] tpu_custom_call sites: {sum(by_payload.values())}")
+    print(f"[{tag}] DISTINCT Mosaic payloads: {len(by_payload)}")
+    for h, cnt in by_payload.most_common():
+        print(f"  {h}  x{cnt:<3} -> {shape_of[h]}")
+    return set(by_payload)
+
+
+def abstract(x):
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), x)
+
+
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "ref"
+    want_ks = "--keyswitch" in sys.argv
 
     # Phase 1 (un-forced, CPU path): build shapes + parity streams eagerly.
-    from matrix_fhe_tpu import models
     from matrix_fhe_tpu.config import get_params
     from matrix_fhe_tpu.models.he import HEContext
 
@@ -43,42 +74,35 @@ def main():
     streams = (ctx0._parity_a_eval_pair,
                None if ctx0.zero_noise else ctx0._parity_e_eval_pair)
 
-    def abstract(x):
-        return jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), x)
-
     # Phase 2 (forced TPU path): fresh context, trace + lower only.
     os.environ["MFHE_FORCE_TPU_PATH"] = "1"
     ctx = HEContext(p)
     m = jax.ShapeDtypeStruct((p.phi, p.n, p.n), jnp.float64)
     exp = jax.export.export(ctx._roundtrip_streams_jit, platforms=("tpu",))(
         m, m, abstract(sk), abstract(streams))
-    mod = exp.mlir_module()
+    print(f"preset={name}")
+    rt = _report("roundtrip", exp.mlir_module())
 
-    calls = re.findall(
-        r'stablehlo\.custom_call @tpu_custom_call\((.*?)\).*?->\s*'
-        r'((?:tuple<)?[^\n]*?)(?:\s*loc|\n)',
-        mod)
-    # payloads live in the backend_config attribute; pair each call with it
-    sites = re.findall(
-        r'@tpu_custom_call.*?backend_config\s*=\s*"((?:[^"\\]|\\.)*)"'
-        r'.*?->\s*([^\n{]*)', mod)
-    if not sites:  # attribute form differs between versions; fall back
-        sites = [(m_, "?") for m_ in re.findall(
-            r'payload[^"]*"((?:[^"\\]|\\.)*)"', mod)]
+    if want_ks:
+        # keyswitch pipeline over the QP basis, abstract key material
+        import jax.numpy as jnp_
+        from matrix_fhe_tpu.models.he import Ciphertext, HEContext as HC
+        from matrix_fhe_tpu.models.keyswitch import RelinContext, RelinKey
 
-    by_payload = collections.Counter()
-    shape_of = {}
-    for cfg, out in sites:
-        h = hashlib.sha256(cfg.encode()).hexdigest()[:12]
-        by_payload[h] += 1
-        shape_of.setdefault(h, out.strip()[:90])
-
-    print(f"preset={name}  module_bytes={len(mod)}")
-    print(f"tpu_custom_call sites: {sum(by_payload.values())}")
-    print(f"DISTINCT Mosaic payloads: {len(by_payload)}")
-    for h, cnt in by_payload.most_common():
-        print(f"  {h}  x{cnt:<3} -> {shape_of[h]}")
+        nctx = HC(p, ring="nega")
+        rc = RelinContext(nctx)
+        L, W, n = len(p.moduli), p.phi, p.n
+        lqp = len(rc.qp_moduli)
+        u64 = jnp.uint64
+        ct = Ciphertext(b=jax.ShapeDtypeStruct((L, W, n, n), u64),
+                        a=jax.ShapeDtypeStruct((L, W, n, n), u64))
+        digit = jax.ShapeDtypeStruct((lqp, W, n, n), u64)
+        rlk = RelinKey(b=(digit,) * rc.dnum, a=(digit,) * rc.dnum)
+        exp2 = jax.export.export(rc._multiply_relinearize_jit,
+                                 platforms=("tpu",))(ct, ct, rlk)
+        ks = _report("multiply_relinearize", exp2.mlir_module())
+        print(f"[overlap] shared payloads with roundtrip: "
+              f"{len(rt & ks)} of {len(ks)}")
 
 
 if __name__ == "__main__":

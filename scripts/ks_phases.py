@@ -62,7 +62,10 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     p = get_params(preset)
     ctx = HEContext(p, ring="nega")
-    rc = RelinContext(ctx)
+    import os
+    rc = RelinContext(ctx, p_moduli="auto"
+                      if os.environ.get("MFHE_AUTO_P") == "1" else None)
+    print(f"[ks] P basis: {[int(q).bit_length() for q in rc.p_moduli]} dnum={rc.dnum}")
     sk = ctx.generate_secret_key()
     rng = np.random.default_rng(0)
     rlk = rc.gen_relin_key(jnp.asarray(refrng.ternary_secret(p)),

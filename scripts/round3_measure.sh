@@ -25,11 +25,16 @@ MFHE_SLICED_DMA=1 timeout 2400 python bench.py 2>&1 | tail -3 | tee -a $LOG
 log "4. trace cgemm (merged-dot form) via examples/matmul.py"
 timeout 2400 python examples/matmul.py 2>&1 | tail -6 | tee -a $LOG
 
-log "5. keyswitch phase table at mid"
+log "5. keyswitch phase table at mid (default P is now the grid-aware
+    basis: 6x28-bit, dnum=1 — compare vs round-2's 117.6 ms on 3x44-bit)"
 timeout 2400 python scripts/ks_phases.py mid 5 2>&1 | tail -12 | tee -a $LOG
 
-log "5b. full 11-limb ref-chain relinearization (streamed, VERDICT r2 #3)"
+log "5b. full 11-limb ref-chain relinearization (streamed, pinned parity P)"
 timeout 3000 python examples/relinearize.py ref 2>&1 | tail -8 | tee -a $LOG
+
+log "5b2. ref chain with the grid-aware auto P (14x28-bit, dnum=1, 0.84 GB
+     keys — the fused non-streamed path should now fit one chip)"
+MFHE_AUTO_P=1 MFHE_RELIN_STREAM=0 timeout 3000 python examples/relinearize.py ref 2>&1 | tail -8 | tee -a $LOG
 
 log "5c. gl2 ciphertext-in/ciphertext-out GEMM at mid (VERDICT r2 #2)"
 timeout 3000 python examples/matmul_gl2.py mid 2>&1 | tail -8 | tee -a $LOG

@@ -437,3 +437,33 @@ def test_switch_key_serialization(setup, rng, tmp_path):
     b1, b2 = xg.apply(ct, 3), xg2.apply(ct, 3)
     assert (np.asarray(b1.b) == np.asarray(b2.b)).all()
     assert (np.asarray(b1.a) == np.asarray(b2.a)).all()
+
+
+def test_grid_aware_default_p_basis():
+    """The generated key-switch extension basis is chosen by the int8
+    digit-grid cost model (round 3): dnum * sum(ceil(bits/7)^2 over QP),
+    subject to P > every limb-group product.  At 'mid' this must beat the
+    old 3 x 44-bit default (dnum=2, cost 542) by picking narrow primes."""
+    import dataclasses as dc
+
+    from matrix_fhe_tpu.models.keyswitch import (_default_p_moduli,
+                                                 _greedy_groups, _grid,
+                                                 _prod)
+
+    for name in ("tiny", "mid"):
+        p = get_params(name)
+        ps = _default_p_moduli(dc.replace(p, p_moduli=()))
+        qs = [int(q) for q in p.moduli]
+        big_p = _prod(ps)
+        groups = _greedy_groups(qs, big_p)
+        # noise guarantee holds
+        for g in groups:
+            assert _prod(qs[l] for l in g) < big_p
+        cost = len(groups) * (sum(_grid(q.bit_length()) for q in qs)
+                              + sum(_grid(q.bit_length()) for q in ps))
+        # old default: 3 primes one bit under the widest Q limb
+        old_w = max(q.bit_length() for q in qs) - 1
+        old_groups = _greedy_groups(qs, (1 << old_w) ** 3)
+        old_cost = len(old_groups) * (
+            sum(_grid(q.bit_length()) for q in qs) + 3 * _grid(old_w + 1))
+        assert cost < old_cost, (name, cost, old_cost)
