@@ -66,7 +66,7 @@ class XNTT:
             import numpy as np
 
             from .modmatmul import limb_runs
-            from .pallas_ntt import make_stage
+            from .pallas_ntt import make_stage_hybrid as make_stage
             self._runs = limb_runs(params.moduli)
             # n < 128 wastes half of every (8,128) vreg in the fold and half
             # the MXU contraction lanes; pack `pack` adjacent polynomials
@@ -84,7 +84,8 @@ class XNTT:
                                       side="right")
                            for lo, hi, _ in self._runs]
             self._mul_s_p = None
-            if n % self._pack == 0:
+            wide = max(int(q).bit_length() for q in params.moduli) >= 48
+            if n % self._pack == 0 and not wide:
                 from .pallas_ntt import make_ntt_mul_ntt
                 rep = n // self._pack
                 self._mul_s_p = [

@@ -1856,6 +1856,24 @@ def make_stage(tables_u64, moduli, row_tile: int = 256, side: str = "right"):
                        row_tile=row_tile, side=side)
 
 
+def make_stage_hybrid(tables_u64, moduli, row_tile: int = 256,
+                      side: str = "right"):
+    """make_stage with an XLA-composed fallback for limb runs whose moduli
+    exceed the kernels' 2^48 REDC bound.  The only such modulus in the
+    framework is the 55-bit prime of the reference's parity-pinned P basis
+    (config.h:48-52): its QP transforms run that ONE limb run through
+    BatchedModTransform (exact at any width) while every narrow run keeps
+    the Mosaic kernels — same (lo, hi)-pair call contract."""
+    if max(int(q).bit_length() for q in moduli) < 48:
+        return make_stage(tables_u64, moduli, row_tile=row_tile, side=side)
+    from .modmatmul import BatchedModTransform
+    bt = BatchedModTransform(np.asarray(tables_u64), moduli, side=side)
+
+    def st(dlo, dhi):
+        return split_u64(bt(join_u64(dlo, dhi)))
+    return st
+
+
 def make_ntt_mul_ntt(fwd_tables, inv_tables, moduli, rep: int,
                      row_tile: int = 256):
     """PallasNttMulNtt/SlicedNttMulNtt factory (same knob as make_stage)."""

@@ -50,6 +50,7 @@ class WTransform:
         self.params = params
         t = tables or build_tables(params)
         self.tables = t
+        self._wide = max(int(q).bit_length() for q in params.moduli) >= 48
         self._fwd = BatchedModTransform(t.w_fwd, params.moduli, side="left")
         self._inv = BatchedModTransform(t.w_inv, params.moduli, side="left")
         # limb-0-only inverse for the centered test path (HE.cu:1101)
@@ -60,20 +61,22 @@ class WTransform:
                             if use_pallas is None else use_pallas)
         self._fwd_p = self._inv_p = None
         if self._use_pallas:
-            from .pallas_ntt import make_stage
+            from .pallas_ntt import make_stage_hybrid
             self._runs = limb_runs(params.moduli)
-            self._fwd_p = [make_stage(t.w_fwd[lo:hi], params.moduli[lo:hi],
-                                      side="left")
+            self._fwd_p = [make_stage_hybrid(t.w_fwd[lo:hi],
+                                             params.moduli[lo:hi],
+                                             side="left")
                            for lo, hi, _ in self._runs]
-            self._inv_p = [make_stage(t.w_inv[lo:hi], params.moduli[lo:hi],
-                                      side="left")
+            self._inv_p = [make_stage_hybrid(t.w_inv[lo:hi],
+                                             params.moduli[lo:hi],
+                                             side="left")
                            for lo, hi, _ in self._runs]
 
         self._composer = CRTComposer(t)
         if self._fast_float:
             self._inv_scaled  # materialize eagerly (never inside a trace)
-            if self._use_pallas:
-                self._inv_compose
+            if self._use_pallas and not self._wide:
+                self._inv_compose  # 55-bit P limbs exceed the kernel bound
         from .fpmatmul import ExactComplexMatmul, fp_transforms_default
         self._fp_dft = self._fp_idft = None
         if fp_transforms_default() and not self._dd_transforms:
@@ -164,8 +167,9 @@ class WTransform:
             scaled[l] = (t.w_inv[l].astype(object) * int(t.crt_inv[l]) % q
                          ).astype(np.uint64)
         if self._use_pallas:
-            from .pallas_ntt import make_stage
-            return [make_stage(scaled[lo:hi], p.moduli[lo:hi], side="left")
+            from .pallas_ntt import make_stage_hybrid
+            return [make_stage_hybrid(scaled[lo:hi], p.moduli[lo:hi],
+                                      side="left")
                     for lo, hi, _ in self._runs]
         return BatchedModTransform(scaled, p.moduli, side="left")
 
@@ -200,7 +204,8 @@ class WTransform:
         fl = lo32.reshape(L, W, -1)
         fh = hi32.reshape(L, W, -1)
         import os
-        fused_ok = (self._use_pallas and fl.shape[-1] % 8 == 0
+        fused_ok = (self._use_pallas and not self._wide
+                    and fl.shape[-1] % 8 == 0
                     and os.environ.get("MFHE_FUSED_COMPOSE", "1") == "1"
                     and os.environ.get("MFHE_STAGE_IMPL",
                                        "sliced") == "sliced")

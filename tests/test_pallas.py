@@ -196,3 +196,37 @@ def test_sliced_ctw_variant_bit_exact(setup, rng, monkeypatch):
                                   np.asarray(both.forward(xj)))
     np.testing.assert_array_equal(np.asarray(base.inverse(want)),
                                   np.asarray(ctw.inverse(want)))
+
+
+def test_hybrid_stage_wide_modulus():
+    """Transforms over a basis containing a >= 2^48 modulus (the reference's
+    55-bit reserved P prime, config.h:48) must construct with use_pallas and
+    stay bit-exact: wide limb runs fall back to the XLA-composed path
+    (make_stage_hybrid), narrow runs keep the kernels."""
+    import numpy as np
+
+    from matrix_fhe_tpu.config import get_params, generate_ntt_primes
+    import dataclasses as dc
+    from matrix_fhe_tpu.ops.ntt import XNTT
+    from matrix_fhe_tpu.ops.wcrt import WTransform
+
+    p0 = get_params("tiny")
+    wide = generate_ntt_primes(1, 55, p0.n, p0.p)
+    p = dc.replace(p0, name="tiny-wide", moduli=p0.moduli + wide)
+    assert max(int(q).bit_length() for q in p.moduli) >= 48
+
+    rng = np.random.default_rng(5)
+    x = np.stack([rng.integers(0, q, (p.phi, p.n), dtype=np.uint64)
+                  for q in p.moduli])
+    import jax.numpy as jnp
+    jx = jnp.asarray(x)
+
+    xp = XNTT(p, use_pallas=True)
+    xo = XNTT(p, use_pallas=False)
+    assert (np.asarray(xp.forward(jx)) == np.asarray(xo.forward(jx))).all()
+    assert (np.asarray(xp.inverse(xp.forward(jx))) == x).all()
+
+    wp = WTransform(p, use_pallas=True)
+    wo = WTransform(p, use_pallas=False)
+    assert (np.asarray(wp.forward(jx)) == np.asarray(wo.forward(jx))).all()
+    assert (np.asarray(wp.inverse(wp.forward(jx))) == x).all()
