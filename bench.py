@@ -109,8 +109,12 @@ def main():
     # canonical-twiddle variants and report the best.  BENCH_AUTOVAR=0 skips.
     if (impl == "sliced" and os.environ.get("BENCH_AUTOVAR", "1") == "1"
             and jax.default_backend() != "cpu"):
-        for tag, env in (("sliced+dma", {"MFHE_SLICED_DMA": "1"}),
-                         ("sliced+ctw", {"MFHE_SLICED_CTW": "1"}),
+        # each variant pins BOTH knobs so ambient MFHE_SLICED_* env
+        # cannot mislabel a measurement (review r3)
+        for tag, env in (("sliced+dma", {"MFHE_SLICED_DMA": "1",
+                                         "MFHE_SLICED_CTW": "0"}),
+                         ("sliced+ctw", {"MFHE_SLICED_CTW": "1",
+                                         "MFHE_SLICED_DMA": "0"}),
                          ("sliced+ctw+dma", {"MFHE_SLICED_CTW": "1",
                                              "MFHE_SLICED_DMA": "1"})):
             saved = {k: os.environ.get(k) for k in env}

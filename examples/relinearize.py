@@ -80,7 +80,7 @@ def main():
     # MFHE_RELIN_STREAM=1/0 overrides; default: stream at "ref" (the
     # pinned-P fused graph needs ~7.5 GB of transients there)
     streamed = (os.environ.get("MFHE_RELIN_STREAM")
-                or ("1" if preset == "ref" else "0")) == "1"
+                or ("1" if preset == "ref" else "0")) != "0"
     mul = (rc.multiply_relinearize_streamed if streamed
            else rc.multiply_relinearize)
     print(f"[relin] path = {'streamed' if streamed else 'fused'}")

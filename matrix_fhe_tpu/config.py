@@ -81,20 +81,11 @@ def generate_ntt_primes(count: int, bits: int, n: int, p: int,
     ops/ntt_large.generate_primes_1mod).
     """
     m = math.lcm(4 * n, p)
+    if below:  # shared downward-search implementation (one width contract)
+        from .ops.ntt_large import generate_primes_1mod
+        return generate_primes_1mod(count, bits, m)
     primes = []
     q = ((1 << bits) // m) * m + 1
-    if below:
-        while q >= (1 << bits):
-            q -= m
-        floor = 1 << (bits - 1)
-        while len(primes) < count and q > floor:
-            if _is_prime(q):
-                primes.append(q)
-            q -= m
-        if len(primes) < count:
-            raise ValueError(
-                f"not enough {bits}-bit primes == 1 mod {m}")
-        return tuple(primes)
     while len(primes) < count:
         if q.bit_length() > bits + 1:
             raise ValueError("prime search overflow; lower count or raise bits")

@@ -83,7 +83,7 @@ def _default_p_moduli(params: GLParams) -> Tuple[int, ...]:
     parameters the hardware cares about.  Search the small (width, count)
     space for the basis minimizing  dnum * sum(grid(limb) for limb in QP)
     subject to the noise guarantee P > every group product.  At "mid"
-    (Q = 45+35+35+35) this picks 5 x 35-bit P -> dnum=1, 2.2x cheaper on
+    (Q = 45+35+35+35) this picks 6 x 28-bit P -> dnum=1, 2.5x cheaper on
     the cost model than the previous 3 x 44-bit default (dnum=2) with 36%
     smaller keys.  The reference pins its own 3 reserved P primes
     (config.h:43-52); presets with explicit p_moduli keep them."""

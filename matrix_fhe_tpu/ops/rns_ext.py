@@ -106,7 +106,7 @@ class BasisExtender:
         m = jnp.asarray(self._m_mod_r_mont.reshape(
             self._m_mod_r_mont.shape + suf))
         terms = mm.mont_mul(t, m, rd0[None], qi0[None])
-        acc = jnp.sum(terms, axis=0) % rd0                        # sum < Ld*2^48
+        acc = jnp.sum(terms, axis=0) % rd0   # Ls terms < max(dst r) <= 2^55
         kq = mm.mont_mul(ku[None] % rd0, jnp.asarray(
             self._qsrc_mod_r_mont.reshape((-1,) + suf)), rd0, qi0)
         return mm.sub_mod(acc, kq, rd0)

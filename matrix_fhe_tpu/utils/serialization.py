@@ -107,17 +107,26 @@ def load_relin_key(path: str, rc):
 def save_galois_keys(path: str, gk) -> None:
     """Checkpoint a GaloisKeys / XGaloisKeys set: only the per-index
     switching keys travel; permutation/sign tables are pure functions of
-    the parameter set and are re-derived on load."""
-    arrs = {"idx": np.asarray(sorted(gk._keys))}
+    the parameter set and are re-derived on load.  The file carries a
+    kind tag ("w"/"x") so loading with the wrong-axis loader raises
+    instead of silently building wrong rotation keys."""
+    from ..models.keyswitch import XGaloisKeys
+    kind = "x" if isinstance(gk, XGaloisKeys) else "w"
+    arrs = {"idx": np.asarray(sorted(gk._keys)), "kind": np.asarray(kind)}
     for j in sorted(gk._keys):
         arrs.update(_pack_relin(gk._keys[j], prefix=f"k{j}_"))
     np.savez_compressed(path, fp=params_fingerprint(gk.rc.ext_params),
                         **arrs)
 
 
-def _load_key_dict(path: str, rc) -> dict:
+def _load_key_dict(path: str, rc, kind: str) -> dict:
     z = np.load(path)
     _check(z, rc.ext_params)
+    got = str(z["kind"]) if "kind" in z else kind
+    if got != kind:
+        raise ValueError(
+            f"checkpoint holds {got!r}-axis Galois keys; use "
+            f"{'load_x_galois_keys' if got == 'x' else 'load_galois_keys'}")
     return {int(j): _unpack_relin(z, prefix=f"k{int(j)}_")
             for j in z["idx"]}
 
@@ -125,7 +134,7 @@ def _load_key_dict(path: str, rc) -> dict:
 def load_galois_keys(path: str, rc):
     """Restore a W-axis GaloisKeys set into `rc` (no key generation)."""
     from ..models.keyswitch import GaloisKeys, w_automorphism_perm
-    keys = _load_key_dict(path, rc)
+    keys = _load_key_dict(path, rc, "w")
     gk = object.__new__(GaloisKeys)
     gk.rc = rc
     gk._keys = keys
@@ -137,7 +146,7 @@ def load_galois_keys(path: str, rc):
 def load_x_galois_keys(path: str, rc):
     """Restore an X-axis XGaloisKeys set into `rc`."""
     from ..models.keyswitch import XGaloisKeys, x_automorphism_maps
-    keys = _load_key_dict(path, rc)
+    keys = _load_key_dict(path, rc, "x")
     gk = object.__new__(XGaloisKeys)
     gk.rc = rc
     gk.x_dim = rc.x_dim

@@ -1,0 +1,151 @@
+"""Pre-flight the round-3 measurement programs without a TPU.
+
+Cross-platform lowers (jax.export, platforms=("tpu",)) the core jit of each
+program in scripts/round3_measure.sh from the CPU host with the TPU kernel
+path forced.  This catches trace-time and Mosaic-lowering-time failures
+(shape/width asserts, Mosaic legalization errors) before burning tunnel
+time; it does NOT run the Mosaic compiler itself (that happens at XLA
+compile time on the device).
+
+Usage: python scripts/preflight.py [quick|full]
+  quick (default): bench kernels + mid keyswitch + gl2 tiny
+  full: adds the ref-preset programs (big tables; several minutes of host
+        table building)
+"""
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=1").strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.export
+import jax.numpy as jnp
+import numpy as np
+
+os.environ["MFHE_FORCE_TPU_PATH"] = "1"
+
+PASS, FAIL = [], []
+
+
+def check(name, fn, *args):
+    try:
+        jax.export.export(jax.jit(fn), platforms=("tpu",))(*args)
+        PASS.append(name)
+        print(f"  ok  {name}")
+    except Exception as e:
+        FAIL.append((name, e))
+        print(f"FAIL  {name}: {type(e).__name__}: {e}")
+        traceback.print_exc(limit=3)
+
+
+def sd(shape, dtype=jnp.uint32):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def main():
+    full = len(sys.argv) > 1 and sys.argv[1] == "full"
+
+    # --- bench kernels: all schedule variants + both widths ---------------
+    from matrix_fhe_tpu.ops.ntt_large import FourStepPlan, generate_primes_1mod
+    from matrix_fhe_tpu.ops.pallas_ntt import SlicedFourStepNTT
+
+    N, L, B = 1 << 16, 16, 8
+    for bits in (35, 28):
+        primes = generate_primes_1mod(L, bits, 2 * N)
+        plan = FourStepPlan.make(N, primes)
+        args = (sd((L, B, plan.n1, plan.n2)), sd((L, B, plan.n1, plan.n2)))
+        for tag, env in (("base", {}),
+                         ("dma", {"MFHE_SLICED_DMA": "1"}),
+                         ("ctw", {"MFHE_SLICED_CTW": "1"}),
+                         ("ctw+dma", {"MFHE_SLICED_CTW": "1",
+                                      "MFHE_SLICED_DMA": "1"})):
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                ntt = SlicedFourStepNTT(plan)
+                check(f"ntt{bits} {tag} fwd", ntt.forward_pair4, *args)
+                check(f"ntt{bits} {tag} inv", ntt.inverse_pair4, *args)
+            finally:
+                for k, v in saved.items():
+                    os.environ.pop(k, None) if v is None else \
+                        os.environ.__setitem__(k, v)
+
+    # --- mid keyswitch (new grid-aware default P) --------------------------
+    from matrix_fhe_tpu.config import get_params
+    from matrix_fhe_tpu.models.he import Ciphertext, HEContext
+    from matrix_fhe_tpu.models.keyswitch import RelinContext, RelinKey
+
+    p = get_params("mid")
+    nctx = HEContext(p, ring="nega")
+    rc = RelinContext(nctx)
+    Lq, W, n = len(p.moduli), p.phi, p.n
+    u64 = jnp.uint64
+    ct = Ciphertext(b=sd((Lq, W, n, n), u64), a=sd((Lq, W, n, n), u64))
+    digit = sd((len(rc.qp_moduli), W, n, n), u64)
+    rlk = RelinKey(b=(digit,) * rc.dnum, a=(digit,) * rc.dnum)
+    check(f"mid multiply_relinearize (dnum={rc.dnum})",
+          rc._multiply_relinearize_fn, ct, ct, rlk)
+
+    from matrix_fhe_tpu.models.keyswitch import _rescale_pipeline
+    fn = _rescale_pipeline(nctx)
+    check("mid rescale pipeline", fn,
+          sd((Lq, W, n, n), u64), sd((Lq, W, n, n), u64))
+
+    # --- gl2 GEMM+relin at tiny -------------------------------------------
+    from matrix_fhe_tpu.models.he2 import Ciphertext2, Gl2Context
+    from matrix_fhe_tpu.models.he_matmul2 import Gl2GemmRelin, GemmRelinKey, HEMatmul2
+
+    pt = get_params("tiny")
+    gctx = Gl2Context(pt)
+    hm = HEMatmul2(gctx)
+    gr = Gl2GemmRelin(hm)
+    m = 2 * pt.n
+    Lg, Wg = len(pt.moduli), pt.phi
+    ct2 = Ciphertext2(b=sd((Lg, Wg, pt.n, m), u64),
+                      a=sd((Lg, Wg, pt.n, m), u64))
+    kdig = sd((len(gr.rc.qp_moduli), Wg, m, m), u64)
+    ks = GemmRelinKey(b1=(kdig,) * gr.rc.dnum, a1=(kdig,) * gr.rc.dnum,
+                      b2=(kdig,) * gr.rc.dnum, a2=(kdig,) * gr.rc.dnum)
+    check("gl2 tiny gemm+relin",
+          lambda a, b, k: gr.relinearize_fn(hm.tensor_fn(a, b), k),
+          ct2, ct2, ks)
+
+    if full:
+        # --- ref roundtrip + ref keyswitch with the PINNED parity P -------
+        ctx0 = HEContext(get_params("ref"))
+        sk = ctx0.generate_secret_key()
+        streams = (ctx0._parity_a_eval_pair, ctx0._parity_e_eval_pair)
+        ab = jax.tree.map(lambda a: sd(a.shape, a.dtype), (sk, streams))
+        pr = get_params("ref")
+        mm_ = sd((pr.phi, pr.n, pr.n), jnp.float64)
+        check("ref roundtrip", ctx0._roundtrip_streams_jit,
+              mm_, mm_, ab[0], ab[1])
+
+        nref = HEContext(pr, ring="nega")
+        rcr = RelinContext(nref)      # pinned P incl. the 55-bit prime
+        Lr = len(pr.moduli)
+        ctr = Ciphertext(b=sd((Lr, pr.phi, pr.n, pr.n), u64),
+                         a=sd((Lr, pr.phi, pr.n, pr.n), u64))
+        dig = sd((len(rcr.qp_moduli), pr.phi, pr.n, pr.n), u64)
+        rlkr = RelinKey(b=(dig,) * rcr.dnum, a=(dig,) * rcr.dnum)
+        check(f"ref multiply_relinearize pinned-P (dnum={rcr.dnum})",
+              rcr._multiply_relinearize_fn, ctr, ctr, rlkr)
+
+        rca = RelinContext(nref, p_moduli="auto")
+        diga = sd((len(rca.qp_moduli), pr.phi, pr.n, pr.n), u64)
+        rlka = RelinKey(b=(diga,) * rca.dnum, a=(diga,) * rca.dnum)
+        check(f"ref multiply_relinearize auto-P (dnum={rca.dnum}, "
+              f"Lqp={len(rca.qp_moduli)})",
+              rca._multiply_relinearize_fn, ctr, ctr, rlka)
+
+    print(f"\npreflight: {len(PASS)} ok, {len(FAIL)} failed")
+    return 1 if FAIL else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,7 +20,7 @@ log "2. NTT bench: grid-pipelined (round-2 default)"
 timeout 2400 python bench.py 2>&1 | tail -3 | tee -a $LOG
 
 log "3. NTT bench: explicit-DMA double-buffered variant"
-MFHE_SLICED_DMA=1 timeout 2400 python bench.py 2>&1 | tail -3 | tee -a $LOG
+MFHE_SLICED_DMA=1 BENCH_AUTOVAR=0 timeout 2400 python bench.py 2>&1 | tail -3 | tee -a $LOG
 
 log "4. trace cgemm (merged-dot form) via examples/matmul.py"
 timeout 2400 python examples/matmul.py 2>&1 | tail -6 | tee -a $LOG
