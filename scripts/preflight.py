@@ -117,11 +117,17 @@ def main():
 
     if full:
         # --- ref roundtrip + ref keyswitch with the PINNED parity P -------
-        ctx0 = HEContext(get_params("ref"))
-        sk = ctx0.generate_secret_key()
-        streams = (ctx0._parity_a_eval_pair, ctx0._parity_e_eval_pair)
+        # two-phase (as kernel_census): keygen/streams execute eagerly, so
+        # build them on the UN-forced CPU path, then export a fresh forced
+        # context with abstract args of the same shapes
+        os.environ["MFHE_FORCE_TPU_PATH"] = "0"
+        ctx_cpu = HEContext(get_params("ref"))
+        sk = ctx_cpu.generate_secret_key()
+        streams = (ctx_cpu._parity_a_eval_pair, ctx_cpu._parity_e_eval_pair)
         ab = jax.tree.map(lambda a: sd(a.shape, a.dtype), (sk, streams))
+        os.environ["MFHE_FORCE_TPU_PATH"] = "1"
         pr = get_params("ref")
+        ctx0 = HEContext(pr)
         mm_ = sd((pr.phi, pr.n, pr.n), jnp.float64)
         check("ref roundtrip", ctx0._roundtrip_streams_jit,
               mm_, mm_, ab[0], ab[1])

@@ -467,3 +467,29 @@ def test_grid_aware_default_p_basis():
         old_cost = len(old_groups) * (
             sum(_grid(q.bit_length()) for q in qs) + 3 * _grid(old_w + 1))
         assert cost < old_cost, (name, cost, old_cost)
+
+
+def test_switch_key_serialization_rejects_mismatch(setup, tmp_path):
+    """Wrong-context and wrong-axis loads must raise, not decrypt garbage:
+    relin keys are fingerprinted against the QP ext_params (Q chain AND P
+    basis), and Galois checkpoints carry a w/x kind tag."""
+    from matrix_fhe_tpu.config import generate_ntt_primes
+    from matrix_fhe_tpu.models.keyswitch import RelinContext, XGaloisKeys
+    from matrix_fhe_tpu.utils import serialization as ser
+
+    p, ctx, rc, sk, rlk = setup
+    path = str(tmp_path / "rlk.npz")
+    ser.save_relin_key(path, rlk, rc)
+    # same Q chain, different P basis -> different ext_params fingerprint
+    cand = generate_ntt_primes(len(p.moduli) + 6, 33, p.n, p.p)
+    other = [q for q in cand if q not in p.moduli][:3]
+    rc2 = RelinContext(ctx, p_moduli=other)
+    with pytest.raises(ValueError, match="checkpoint was written"):
+        ser.load_relin_key(path, rc2)
+
+    xg = XGaloisKeys(rc, jnp.asarray(refrng.ternary_secret(p)), [3],
+                     jax.random.key(40))
+    xpath = str(tmp_path / "xg.npz")
+    ser.save_galois_keys(xpath, xg)
+    with pytest.raises(ValueError, match="x.-axis"):
+        ser.load_galois_keys(xpath, rc)
