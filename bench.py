@@ -103,6 +103,24 @@ def main():
     variants = {impl: round(ntts_per_sec, 1)}
     best_tag = impl
 
+    # If the driver's timeout lands mid-variant (SIGTERM from `timeout`),
+    # still emit the JSON line with everything measured so far.
+    import signal
+
+    state = {"partial": True}
+
+    def _emit_partial(signum, frame):  # pragma: no cover - signal path
+        state.update(metric="NTTs/sec/chip (N=2^16, L=16, negacyclic, "
+                            "35-bit primes)",
+                     value=round(ntts_per_sec, 1), unit="NTT/s",
+                     vs_baseline=round(ntts_per_sec / 1_000_000.0, 6),
+                     ntt_variant=best_tag, ntt_variants=variants)
+        print(json.dumps(state))
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_partial)
+
     # Auto-variant selection (round 3): the fastest Mosaic schedule for the
     # sliced kernel depends on real-chip co-issue behaviour that can only be
     # measured on hardware; try the explicit-DMA double-buffered and
@@ -200,13 +218,13 @@ def main():
             err = float(np.hypot(np.asarray(dr) - re,
                                  np.asarray(di) - im).max())
             assert err < 1e-4, f"ref pipeline err {err} >= 1e-4"
-            extra = {"ref_roundtrip_ms": round(rt_ms, 1),
-                     "ref_roundtrip_err": float(f"{err:.2e}")}
+            extra.update({"ref_roundtrip_ms": round(rt_ms, 1),
+                          "ref_roundtrip_err": float(f"{err:.2e}")})
             sys.stderr.write(f"[bench] ref roundtrip: {rt_ms:.1f} ms, "
                              f"err {err:.2e} (first+compile {t_first:.0f}s)\n")
         except Exception as e:  # pragma: no cover - report, don't mask NTT
             sys.stderr.write(f"[bench] ref gate FAILED: {e}\n")
-            extra = {"ref_gate_error": str(e)[:200]}
+            extra["ref_gate_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "NTTs/sec/chip (N=2^16, L=16, negacyclic, 35-bit primes)",
