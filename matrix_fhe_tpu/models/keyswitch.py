@@ -367,6 +367,43 @@ class RelinContext:
                 d2wc[jnp.asarray(list(g))], rlk.b[i], rlk.a[i], ksb, ksa)
         return self._mr_finish_jit(d0c, d1c, ksb, ksa)
 
+    @functools.cached_property
+    def _multiply_pair_jit(self):
+        return jax.jit(self._multiply_relinearize_pair_fn)
+
+    def multiply_relinearize_pair(self, re1: Ciphertext, im1: Ciphertext,
+                                  re2: Ciphertext, im2: Ciphertext,
+                                  rlk: RelinKey
+                                  ) -> Tuple[Ciphertext, Ciphertext]:
+        """Homomorphic COMPLEX multiplication of two packed Gaussian pairs.
+
+        The packing stores a complex message as a ciphertext pair
+        (re, im) — formally the Gaussian element re + i*im (encrypt_pair,
+        HE.cu:1455) — and ring multiplication acts slotwise on the
+        sigma-embedded values, so this is the homomorphic HADAMARD product
+        of the packed complex matrices: 3-multiply Karatsuba
+        (P1 = r1 r2, P2 = i1 i2, P3 = (r1+i1)(r2+i2);
+        out = (P1 - P2, P3 - P1 - P2)), each product relinearized.
+        Output scale is Delta^2 (decode with delta_override)."""
+        return self._multiply_pair_jit(re1, im1, re2, im2, rlk)
+
+    def _multiply_relinearize_pair_fn(self, re1, im1, re2, im2, rlk):
+        q = self._cq["q"]
+
+        def cadd(x: Ciphertext, y: Ciphertext) -> Ciphertext:
+            return Ciphertext(b=mm.add_mod(x.b, y.b, q),
+                              a=mm.add_mod(x.a, y.a, q))
+
+        def csub(x: Ciphertext, y: Ciphertext) -> Ciphertext:
+            return Ciphertext(b=mm.sub_mod(x.b, y.b, q),
+                              a=mm.sub_mod(x.a, y.a, q))
+
+        p1 = self._multiply_relinearize_fn(re1, re2, rlk)
+        p2 = self._multiply_relinearize_fn(im1, im2, rlk)
+        p3 = self._multiply_relinearize_fn(cadd(re1, im1), cadd(re2, im2),
+                                           rlk)
+        return csub(p1, p2), csub(csub(p3, p1), p2)
+
     def _mod_down(self, y_qp: jnp.ndarray) -> jnp.ndarray:
         """round(y/P) mod Q, exact centered division by the P basis
         ((W-coeff, X-coeff) domain inputs)."""

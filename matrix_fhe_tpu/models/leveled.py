@@ -1,0 +1,158 @@
+"""Leveled CKKS context chain: automatic level / scale bookkeeping.
+
+A SEAL-style "context chain" the reference has no analog of (its API stops
+at raw tensor products, HE.cu:1727-1740): one object owns the per-level
+parameter sets (the last prime dropped at each level), the per-level
+HEContext / RelinContext / switching keys — all derived from ONE ternary
+secret — and a `LeveledCt` wrapper carrying (level, scale) so that
+multiply / rescale / rotate / add compose without manual modulus
+bookkeeping.  tests/test_keyswitch.py::test_depth2_chain performs exactly
+this dance by hand; LeveledChain is that dance as API.
+
+Messages here are limb-consistent ring elements in W-eval layout (the
+objects HEContext.encrypt consumes).  Scales multiply under homomorphic
+multiplication and divide by the dropped prime under rescale; decrypting
+callers read `lct.scale` (the `delta_override` for decoding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GLParams
+from .he import Ciphertext, HEContext, SecretKey
+from . import rng as refrng
+from .keyswitch import GaloisKeys, RelinContext, rescale_ciphertext
+
+
+class LeveledCt(NamedTuple):
+    """A ciphertext annotated with its chain position and plaintext scale."""
+    ct: Ciphertext
+    level: int
+    scale: float
+
+
+class LeveledChain:
+    """Owns the leveled context tower over one base parameter set."""
+
+    def __init__(self, params: GLParams, ring: str = "nega",
+                 key: Optional[jax.Array] = None,
+                 p_moduli: Optional[Sequence[int]] = None):
+        self.base = params
+        self.ring = ring
+        self.depth = len(params.moduli) - 1  # deepest usable level index
+        self._key = key if key is not None else jax.random.key(0)
+        self._p_moduli = p_moduli
+        self._ctx = {}
+        self._rc = {}
+        self._rlk = {}
+        self._gk = {}
+
+    # -- context tower -------------------------------------------------------
+
+    def limbs_at(self, level: int) -> int:
+        return len(self.base.moduli) - level
+
+    def params_at(self, level: int) -> GLParams:
+        if not 0 <= level <= self.depth:
+            raise ValueError(f"level {level} outside chain [0, {self.depth}]")
+        if level == 0:
+            return self.base
+        return dataclasses.replace(
+            self.base, name=f"{self.base.name}-lvl{level}",
+            moduli=self.base.moduli[:self.limbs_at(level)])
+
+    def ctx(self, level: int) -> HEContext:
+        if level not in self._ctx:
+            self._ctx[level] = HEContext(self.params_at(level),
+                                         ring=self.ring)
+        return self._ctx[level]
+
+    @functools.cached_property
+    def _s_coeff0(self) -> jnp.ndarray:
+        return jnp.asarray(refrng.ternary_secret(self.base))
+
+    @functools.cached_property
+    def _sk0(self) -> SecretKey:
+        return self.ctx(0).generate_secret_key()
+
+    def sk(self, level: int) -> SecretKey:
+        """The one secret, restricted to the level's limb prefix (the
+        ternary pattern is limb-consistent, so slicing is exact)."""
+        return SecretKey(s_mont=self._sk0.s_mont[:self.limbs_at(level)])
+
+    def rc(self, level: int) -> RelinContext:
+        if level not in self._rc:
+            self._rc[level] = RelinContext(self.ctx(level),
+                                           p_moduli=self._p_moduli)
+        return self._rc[level]
+
+    def rlk(self, level: int):
+        if level not in self._rlk:
+            self._rlk[level] = self.rc(level).gen_relin_key(
+                self._s_coeff0[:self.limbs_at(level)],
+                jax.random.fold_in(self._key, level))
+        return self._rlk[level]
+
+    def galois(self, level: int, j: int) -> GaloisKeys:
+        if (level, j) not in self._gk:
+            self._gk[(level, j)] = GaloisKeys(
+                self.rc(level), self._s_coeff0[:self.limbs_at(level)], [j],
+                jax.random.fold_in(self._key, (level + 1) * 1000 + j))
+        return self._gk[(level, j)]
+
+    # -- leveled operations --------------------------------------------------
+
+    def encrypt(self, m_eval: jnp.ndarray, level: int = 0,
+                scale: Optional[float] = None) -> LeveledCt:
+        """m_eval: limb-consistent message in W-eval layout for `level`'s
+        limb count ([L_level, W, y, x])."""
+        ct = self.ctx(level).encrypt(m_eval, self.sk(level))
+        return LeveledCt(ct, level,
+                         float(self.base.delta) if scale is None else scale)
+
+    def multiply(self, a: LeveledCt, b: LeveledCt) -> LeveledCt:
+        if a.level != b.level:
+            raise ValueError(
+                f"level mismatch {a.level} != {b.level}: mod_switch first")
+        ct = self.rc(a.level).multiply_relinearize(a.ct, b.ct,
+                                                   self.rlk(a.level))
+        return LeveledCt(ct, a.level, a.scale * b.scale)
+
+    def rescale(self, a: LeveledCt) -> LeveledCt:
+        if a.level >= self.depth:
+            raise ValueError("chain exhausted: no prime left to drop")
+        q_last = int(self.params_at(a.level).moduli[-1])
+        ct = rescale_ciphertext(self.ctx(a.level), a.ct)
+        return LeveledCt(ct, a.level + 1, a.scale / q_last)
+
+    def mod_switch(self, a: LeveledCt, level: int) -> LeveledCt:
+        """Drop limbs without rescaling (exact for centered values below
+        the reduced modulus; scale unchanged)."""
+        if level < a.level:
+            raise ValueError("cannot switch to a larger modulus")
+        k = self.limbs_at(level)
+        return LeveledCt(Ciphertext(b=a.ct.b[:k], a=a.ct.a[:k]),
+                         level, a.scale)
+
+    def add(self, a: LeveledCt, b: LeveledCt) -> LeveledCt:
+        if a.level != b.level:
+            raise ValueError(
+                f"level mismatch {a.level} != {b.level}: mod_switch first")
+        if abs(a.scale - b.scale) > 1e-6 * a.scale:
+            raise ValueError(
+                f"scale mismatch {a.scale} vs {b.scale}: rescale first")
+        return LeveledCt(self.ctx(a.level).add_ciphertexts(a.ct, b.ct),
+                         a.level, a.scale)
+
+    def rotate(self, a: LeveledCt, j: int) -> LeveledCt:
+        return LeveledCt(self.galois(a.level, j).apply(a.ct, j),
+                         a.level, a.scale)
+
+    def decrypt_to_eval(self, a: LeveledCt) -> jnp.ndarray:
+        return self.ctx(a.level).decrypt_to_eval(a.ct, self.sk(a.level))

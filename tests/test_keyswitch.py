@@ -493,3 +493,83 @@ def test_switch_key_serialization_rejects_mismatch(setup, tmp_path):
     ser.save_galois_keys(xpath, xg)
     with pytest.raises(ValueError, match="x.-axis"):
         ser.load_galois_keys(xpath, rc)
+
+
+def test_leveled_chain(setup, rng):
+    """LeveledChain = the depth-2 dance as API: per-level contexts/keys
+    from one secret, scale bookkeeping, level guards — and bit-equality
+    with the manually-constructed machinery it wraps."""
+    from matrix_fhe_tpu.models.leveled import LeveledChain
+
+    p, ctx, rc, sk, rlk = setup
+    chain = LeveledChain(p, ring="nega", key=jax.random.key(0))
+
+    def msg(bits=16):
+        c = rng.integers(0, 1 << bits, size=(p.phi, p.n, p.n))
+        return chain.ctx(0).wt.forward(jnp.asarray(np.stack(
+            [(c % int(q)).astype(np.uint64) for q in p.moduli])))
+
+    x, y = chain.encrypt(msg()), chain.encrypt(msg())
+    assert x.scale == float(p.delta)
+
+    z = chain.multiply(x, y)
+    assert z.level == 0 and z.scale == float(p.delta) ** 2
+
+    # manual replica using the module fixture's context must agree bit-exact
+    manual_rlk = rc.gen_relin_key(jnp.asarray(refrng.ternary_secret(p)),
+                                  jax.random.fold_in(jax.random.key(0), 0))
+    manual = rc.multiply_relinearize(x.ct, y.ct, manual_rlk)
+    assert (np.asarray(manual.b) == np.asarray(z.ct.b)).all()
+    assert (np.asarray(manual.a) == np.asarray(z.ct.a)).all()
+
+    zr = chain.rescale(z)
+    q_last = int(p.moduli[-1])
+    assert zr.level == 1
+    assert abs(zr.scale - float(p.delta) ** 2 / q_last) < 1e-6 * zr.scale
+
+    with pytest.raises(ValueError, match="level mismatch"):
+        chain.multiply(zr, x)
+    with pytest.raises(ValueError, match="scale mismatch"):
+        chain.add(x, z)
+
+    x1 = chain.mod_switch(x, 1)
+    w = chain.multiply(zr, x1)           # depth 2, standard ciphertext
+    assert w.level == 1 and w.ct.b.shape[0] == len(p.moduli) - 1
+
+    j = next(c for c in range(2, p.p) if np.gcd(c, p.p) == 1)
+    rot = chain.rotate(w, j)             # Galois at a reduced level
+    _ = chain.decrypt_to_eval(rot)       # decrypts without error
+
+
+def test_complex_pair_multiply(setup, rng):
+    """Homomorphic complex Hadamard product of packed Gaussian pairs
+    (3-mult Karatsuba over multiply_relinearize) vs the exact ring oracle
+    on the decrypted plaintexts."""
+    p, ctx, rc, sk, rlk = setup
+
+    def enc():
+        c = rng.integers(0, 1 << 16, size=(p.phi, p.n, p.n))
+        coeffs = jnp.asarray(np.stack(
+            [(c % int(q)).astype(np.uint64) for q in p.moduli]))
+        return ctx.encrypt(ctx.wt.forward(coeffs), sk)
+
+    r1, i1, r2, i2 = enc(), enc(), enc(), enc()
+    outr, outi = rc.multiply_relinearize_pair(r1, i1, r2, i2, rlk)
+
+    c4 = ctx._c4
+    q, qi, r2m = c4["q"], c4["qinv_neg"], c4["r2"]
+
+    def ring_mul(a, b):
+        ha = ctx.xntt.forward(a)
+        hb = ctx.xntt.forward(b)
+        return ctx.xntt.inverse(mm.mont_mul(
+            mm.to_mont(ha, q, qi, r2m), hb, q, qi))
+
+    pr1, pi1 = ctx.decrypt_to_eval(r1, sk), ctx.decrypt_to_eval(i1, sk)
+    pr2, pi2 = ctx.decrypt_to_eval(r2, sk), ctx.decrypt_to_eval(i2, sk)
+    want_r = mm.sub_mod(ring_mul(pr1, pr2), ring_mul(pi1, pi2), q)
+    want_i = mm.add_mod(ring_mul(pr1, pi2), ring_mul(pi1, pr2), q)
+
+    for got, want in ((outr, want_r), (outi, want_i)):
+        diff = mm.sub_mod(ctx.decrypt_to_eval(got, sk), want, q)
+        assert _composed_mag(ctx, diff, p.moduli) < 1 << 36
