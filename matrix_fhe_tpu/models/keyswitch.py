@@ -508,6 +508,80 @@ class GaloisKeys:
         return self._apply_jit(j)(ct, self._keys[j])
 
 
+class FullGaloisKeys:
+    """Log-many keys covering the ENTIRE W-slot rotation group.
+
+    The packing primes are p = 3*q with q prime (config.h:14: 771 = 3*257;
+    also 15 = 3*5, 51 = 3*17), so the rotation group (Z/p)^* is
+    Z2 x Z_{q-1}.  Storing keys only for the CRT generators' power-of-two
+    towers — T = CRT(2 mod 3, 1 mod q) plus G^(2^k) for
+    G = CRT(1 mod 3, g mod q), k < ceil(log2(q-1)) — lets apply() realize
+    ANY of the phi(p) rotations as at most 1 + popcount(e) key switches:
+    ~10 stored keys instead of up to 512 (the classic CKKS power-of-two
+    rotation decomposition adapted to the two-factor group).  Noise grows
+    by one key-switch unit per hop."""
+
+    @staticmethod
+    def group_tables(p: int):
+        """(q, g, t_idx, g_idx, dlog) for the Z2 x Z_{q-1} decomposition —
+        a pure function of p (checkpoint loaders rebuild from this)."""
+        q = p // 3
+        if p != 3 * q:
+            raise ValueError(f"packing modulus p={p} is not 3*q")
+        # generator of (Z/q)^*
+        fac = []
+        m, d = q - 1, 2
+        while d * d <= m:
+            if m % d == 0:
+                fac.append(d)
+                while m % d == 0:
+                    m //= d
+            d += 1
+        if m > 1:
+            fac.append(m)
+        g = next(c for c in range(2, q)
+                 if all(pow(c, (q - 1) // f, q) != 1 for f in fac))
+        inv3 = pow(3, -1, q)  # CRT lift: x == a mod 3, x == b mod q
+
+        def crt(a3, bq):
+            return (a3 + 3 * ((bq - a3) * inv3 % q)) % p
+
+        t_idx = crt(2, 1)
+        nbits = (q - 2).bit_length()
+        g_idx = [crt(1, pow(g, 1 << k, q)) for k in range(nbits)]
+        dlog = {pow(g, e, q): e for e in range(q - 1)}
+        return q, g, t_idx, g_idx, dlog
+
+    def _init_tables(self, p: int) -> None:
+        (self.q, self.g, self._t_idx, self._g_idx,
+         self._dlog) = self.group_tables(p)
+        self.p = p
+
+    def __init__(self, rc: RelinContext, s_coeff: jnp.ndarray,
+                 key: jax.Array):
+        self._init_tables(rc.ctx.params.p)
+        self._gk = GaloisKeys(rc, s_coeff,
+                              [self._t_idx] + self._g_idx, key)
+
+    def decompose(self, j: int):
+        """j (unit mod p) -> (t, e): j = T^t * G^e in the rotation group."""
+        if np.gcd(j, self.p) != 1:
+            raise ValueError("rotation index must be a unit mod p")
+        t = 0 if j % 3 == 1 else 1
+        e = self._dlog[j % self.q]
+        return t, e
+
+    def apply(self, ct: Ciphertext, j: int) -> Ciphertext:
+        t, e = self.decompose(j)
+        out = ct
+        if t:
+            out = self._gk.apply(out, self._t_idx)
+        for k, idx in enumerate(self._g_idx):
+            if (e >> k) & 1:
+                out = self._gk.apply(out, idx)
+        return out
+
+
 def x_automorphism_maps(x_dim: int, k: int):
     """Coefficient and NTT-slot actions of the X-axis Galois automorphism
     X -> X^k (k odd) on a negacyclic ring of dimension x_dim.

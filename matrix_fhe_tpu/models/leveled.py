@@ -156,3 +156,29 @@ class LeveledChain:
 
     def decrypt_to_eval(self, a: LeveledCt) -> jnp.ndarray:
         return self.ctx(a.level).decrypt_to_eval(a.ct, self.sk(a.level))
+
+    # -- complex (Gaussian-pair) messages ------------------------------------
+    #
+    # A packed complex message is a ciphertext PAIR (re, im) sharing one `a`
+    # (encrypt_pair, HE.cu:1455).  These wrappers keep the pair moving
+    # through the chain together; multiply_complex is the slotwise Hadamard
+    # product (RelinContext.multiply_relinearize_pair).
+
+    def encrypt_complex(self, m_re, m_im, level: int = 0,
+                        scale: Optional[float] = None):
+        ctx = self.ctx(level)
+        ct_re, ct_im = ctx.encrypt_pair(m_re, m_im, self.sk(level))
+        s = float(self.base.delta) if scale is None else scale
+        return (LeveledCt(ct_re, level, s), LeveledCt(ct_im, level, s))
+
+    def multiply_complex(self, a_pair, b_pair):
+        (ar, ai), (br, bi) = a_pair, b_pair
+        if not (ar.level == ai.level == br.level == bi.level):
+            raise ValueError("level mismatch across the pairs")
+        outr, outi = self.rc(ar.level).multiply_relinearize_pair(
+            ar.ct, ai.ct, br.ct, bi.ct, self.rlk(ar.level))
+        s = ar.scale * br.scale
+        return (LeveledCt(outr, ar.level, s), LeveledCt(outi, ar.level, s))
+
+    def rescale_pair(self, pair):
+        return (self.rescale(pair[0]), self.rescale(pair[1]))

@@ -143,6 +143,20 @@ def load_galois_keys(path: str, rc):
     return gk
 
 
+def save_full_galois_keys(path: str, fk) -> None:
+    """Checkpoint a FullGaloisKeys set (the inner generator-tower keys;
+    group tables are a pure function of p and rebuild on load)."""
+    save_galois_keys(path, fk._gk)
+
+
+def load_full_galois_keys(path: str, rc):
+    from ..models.keyswitch import FullGaloisKeys
+    fk = object.__new__(FullGaloisKeys)
+    fk._init_tables(rc.ctx.params.p)
+    fk._gk = load_galois_keys(path, rc)
+    return fk
+
+
 def load_x_galois_keys(path: str, rc):
     """Restore an X-axis XGaloisKeys set into `rc`."""
     from ..models.keyswitch import XGaloisKeys, x_automorphism_maps

@@ -573,3 +573,53 @@ def test_complex_pair_multiply(setup, rng):
     for got, want in ((outr, want_r), (outi, want_i)):
         diff = mm.sub_mod(ctx.decrypt_to_eval(got, sk), want, q)
         assert _composed_mag(ctx, diff, p.moduli) < 1 << 36
+
+
+def test_full_galois_keys_cover_every_rotation(setup, rng):
+    """FullGaloisKeys: ~log2(phi(p)) stored keys realize EVERY unit
+    rotation via the Z2 x Z_{q-1} power-of-two decomposition; each
+    composed rotation must decrypt to the same slot permutation as the
+    direct single-key oracle."""
+    from matrix_fhe_tpu.models.keyswitch import (FullGaloisKeys,
+                                                 w_automorphism_perm)
+
+    p, ctx, rc, sk, rlk = setup
+    fk = FullGaloisKeys(rc, jnp.asarray(refrng.ternary_secret(p)),
+                        jax.random.key(51))
+    # key count is logarithmic: 1 + ceil(log2(q-1)) indices stored
+    assert len(fk._gk._keys) <= 2 + (p.p // 3 - 2).bit_length()
+
+    m = jnp.asarray(np.stack(
+        [rng.integers(0, 1 << 20, size=(p.phi, p.n, p.n)).astype(np.uint64)
+         for _ in p.moduli]))
+    ct = ctx.encrypt(m, sk)
+    plain = ctx.decrypt_to_eval(ct, sk)
+    units = [j for j in range(1, p.p) if np.gcd(j, p.p) == 1]
+    assert len(units) == p.phi
+    for j in units:
+        got = ctx.decrypt_to_eval(fk.apply(ct, j), sk)
+        perm = w_automorphism_perm(p, j)
+        want = plain[:, jnp.asarray(perm)]
+        diff = mm.sub_mod(got, want, ctx._c4["q"])
+        # noise: up to 1 + log2(q-1) key-switch hops
+        assert _composed_mag(ctx, diff, p.moduli) < 100_000, j
+
+
+def test_full_galois_keys_serialization(setup, rng, tmp_path):
+    from matrix_fhe_tpu.models.keyswitch import FullGaloisKeys
+    from matrix_fhe_tpu.utils import serialization as ser
+
+    p, ctx, rc, sk, rlk = setup
+    fk = FullGaloisKeys(rc, jnp.asarray(refrng.ternary_secret(p)),
+                        jax.random.key(52))
+    path = str(tmp_path / "fk.npz")
+    ser.save_full_galois_keys(path, fk)
+    fk2 = ser.load_full_galois_keys(path, rc)
+    m = jnp.asarray(np.stack(
+        [rng.integers(0, 1 << 20, size=(p.phi, p.n, p.n)).astype(np.uint64)
+         for _ in p.moduli]))
+    ct = ctx.encrypt(m, sk)
+    j = next(c for c in range(2, p.p) if np.gcd(c, p.p) == 1)
+    a1, a2 = fk.apply(ct, j), fk2.apply(ct, j)
+    assert (np.asarray(a1.b) == np.asarray(a2.b)).all()
+    assert (np.asarray(a1.a) == np.asarray(a2.a)).all()
