@@ -379,9 +379,10 @@ class RelinContext:
 
         The packing stores a complex message as a ciphertext pair
         (re, im) — formally the Gaussian element re + i*im (encrypt_pair,
-        HE.cu:1455) — and ring multiplication acts slotwise on the
-        sigma-embedded values, so this is the homomorphic HADAMARD product
-        of the packed complex matrices: 3-multiply Karatsuba
+        HE.cu:1455).  This computes their product in the Gaussian ring
+        Z[i][X, W]/(X^n+1, Phi_p(W)): pointwise across W-slots, negacyclic
+        convolution along X (NOT an entrywise matrix product — the
+        sigma-embedding's eval points live in the GL ring): 3-mult Karatsuba
         (P1 = r1 r2, P2 = i1 i2, P3 = (r1+i1)(r2+i2);
         out = (P1 - P2, P3 - P1 - P2)), each product relinearized.
         Output scale is Delta^2 (decode with delta_override)."""

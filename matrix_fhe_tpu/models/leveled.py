@@ -161,8 +161,9 @@ class LeveledChain:
     #
     # A packed complex message is a ciphertext PAIR (re, im) sharing one `a`
     # (encrypt_pair, HE.cu:1455).  These wrappers keep the pair moving
-    # through the chain together; multiply_complex is the slotwise Hadamard
-    # product (RelinContext.multiply_relinearize_pair).
+    # through the chain together; multiply_complex is the Gaussian-ring
+    # product (RelinContext.multiply_relinearize_pair: W-slotwise, X-axis
+    # negacyclic convolution).
 
     def encrypt_complex(self, m_re, m_im, level: int = 0,
                         scale: Optional[float] = None):

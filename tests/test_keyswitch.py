@@ -623,3 +623,35 @@ def test_full_galois_keys_serialization(setup, rng, tmp_path):
     a1, a2 = fk.apply(ct, j), fk2.apply(ct, j)
     assert (np.asarray(a1.b) == np.asarray(a2.b)).all()
     assert (np.asarray(a1.a) == np.asarray(a2.a)).all()
+
+
+def test_leveled_chain_complex_pair(setup, rng):
+    """Chain-level complex pair ops: wiring equals the direct
+    multiply_relinearize_pair bit-exactly; scale bookkeeping tracks the
+    product and the rescale."""
+    from matrix_fhe_tpu.models.leveled import LeveledChain
+
+    p, ctx, rc, sk, rlk = setup
+    chain = LeveledChain(p, ring="nega", key=jax.random.key(0))
+
+    def enc_msg():
+        c = rng.integers(0, 1 << 12, size=(p.phi, p.n, p.n))
+        return chain.ctx(0).wt.forward(jnp.asarray(np.stack(
+            [(c % int(q)).astype(np.uint64) for q in p.moduli])))
+
+    a = chain.encrypt_complex(enc_msg(), enc_msg())
+    b = chain.encrypt_complex(enc_msg(), enc_msg())
+    prod = chain.multiply_complex(a, b)
+    assert prod[0].scale == float(p.delta) ** 2
+
+    manual_rlk = rc.gen_relin_key(jnp.asarray(refrng.ternary_secret(p)),
+                                  jax.random.fold_in(jax.random.key(0), 0))
+    mr, mi = rc.multiply_relinearize_pair(a[0].ct, a[1].ct,
+                                          b[0].ct, b[1].ct, manual_rlk)
+    assert (np.asarray(mr.b) == np.asarray(prod[0].ct.b)).all()
+    assert (np.asarray(mi.b) == np.asarray(prod[1].ct.b)).all()
+
+    rr = chain.rescale_pair(prod)
+    assert rr[0].level == rr[1].level == 1
+    assert abs(rr[0].scale
+               - float(p.delta) ** 2 / int(p.moduli[-1])) < 1e-6 * rr[0].scale
