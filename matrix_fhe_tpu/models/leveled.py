@@ -150,9 +150,22 @@ class LeveledChain:
         return LeveledCt(self.ctx(a.level).add_ciphertexts(a.ct, b.ct),
                          a.level, a.scale)
 
-    def rotate(self, a: LeveledCt, j: int) -> LeveledCt:
-        return LeveledCt(self.galois(a.level, j).apply(a.ct, j),
-                         a.level, a.scale)
+    def full_galois(self, level: int):
+        """Shared log-size rotation key set for the level (FullGaloisKeys:
+        ~10 stored keys cover every unit rotation)."""
+        k = ("full", level)
+        if k not in self._gk:
+            from .keyswitch import FullGaloisKeys
+            self._gk[k] = FullGaloisKeys(
+                self.rc(level), self._s_coeff0[:self.limbs_at(level)],
+                jax.random.fold_in(self._key, (level + 1) * 7919))
+        return self._gk[k]
+
+    def rotate(self, a: LeveledCt, j: int, full: bool = False) -> LeveledCt:
+        """tau_j; full=True uses the shared log-size key set (more hops,
+        ~log2 noise units) instead of one stored key per index."""
+        gk = self.full_galois(a.level) if full else self.galois(a.level, j)
+        return LeveledCt(gk.apply(a.ct, j), a.level, a.scale)
 
     def decrypt_to_eval(self, a: LeveledCt) -> jnp.ndarray:
         return self.ctx(a.level).decrypt_to_eval(a.ct, self.sk(a.level))

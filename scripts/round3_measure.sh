@@ -39,6 +39,9 @@ MFHE_AUTO_P=1 MFHE_RELIN_STREAM=0 timeout 3000 python examples/relinearize.py re
 log "5c. gl2 ciphertext-in/ciphertext-out GEMM at mid (VERDICT r2 #2)"
 timeout 3000 python examples/matmul_gl2.py mid 2>&1 | tail -8 | tee -a $LOG
 
+log "5d. leveled chain depth-2 demo at mid (LeveledChain, auto scale mgmt)"
+timeout 2400 python examples/leveled.py mid 2>&1 | tail -5 | tee -a $LOG
+
 log "6. roundtrip exactness through the words-chained encode/decode (ref)"
 timeout 2400 python - <<'EOF' 2>&1 | tail -3 | tee -a $LOG
 import numpy as np, jax.numpy as jnp

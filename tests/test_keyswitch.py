@@ -539,6 +539,8 @@ def test_leveled_chain(setup, rng):
     j = next(c for c in range(2, p.p) if np.gcd(c, p.p) == 1)
     rot = chain.rotate(w, j)             # Galois at a reduced level
     _ = chain.decrypt_to_eval(rot)       # decrypts without error
+    rot2 = chain.rotate(w, j, full=True)  # shared log-size key set
+    _ = chain.decrypt_to_eval(rot2)
 
 
 def test_complex_pair_multiply(setup, rng):
