@@ -242,6 +242,40 @@ class HEContext:
         (mul_tensor_kernel, HE.cu:647-669)."""
         return self._mul_raw_jit(ct1, ct2)
 
+    @functools.cached_property
+    def _mul_plain_jit(self):
+        def f(ct: Ciphertext, m: jnp.ndarray):
+            c = self._c4
+            q, qi = c["q"], c["qinv_neg"]
+            hatm = mm.to_mont(self.xntt.forward(m), q, qi, c["r2"])
+            b = self.xntt.inverse(
+                mm.mont_mul(self.xntt.forward(ct.b), hatm, q, qi))
+            a = self.xntt.inverse(
+                mm.mont_mul(self.xntt.forward(ct.a), hatm, q, qi))
+            return Ciphertext(b=b, a=a)
+        return jax.jit(f)
+
+    def multiply_plain(self, ct: Ciphertext, m: jnp.ndarray) -> Ciphertext:
+        """Exact ring product of a ciphertext with a PLAINTEXT element m
+        (same stored layout as encrypt's message: W-eval, X-coeff,
+        limb-major).  No key material needed, no fresh noise — the
+        existing noise is multiplied by m, and the plaintext scale
+        multiplies (decode with delta_override).  Standard CKKS
+        const/mask multiply; no reference counterpart."""
+        return self._mul_plain_jit(ct, jnp.asarray(m))
+
+    @functools.cached_property
+    def _add_plain_jit(self):
+        def f(ct: Ciphertext, m: jnp.ndarray):
+            return Ciphertext(b=mm.add_mod(ct.b, m, self._c4["q"]),
+                              a=ct.a)
+        return jax.jit(f)
+
+    def add_plain(self, ct: Ciphertext, m: jnp.ndarray) -> Ciphertext:
+        """ct + plaintext m (stored layout; m must carry the ciphertext's
+        scale)."""
+        return self._add_plain_jit(ct, jnp.asarray(m))
+
     # -- convenience ------------------------------------------------------------
 
     def roundtrip_fn(self, m_re, m_im, sk: SecretKey):

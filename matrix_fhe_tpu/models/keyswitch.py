@@ -582,6 +582,31 @@ class FullGaloisKeys:
                 out = self._gk.apply(out, idx)
         return out
 
+    def slot_sum(self, ct: Ciphertext) -> Ciphertext:
+        """EvalSum: every W slot becomes the sum of ALL phi(p) slots, in
+        1 + log2(q-1) rotate-and-add passes.
+
+        (1 + tau_T) * prod_k (1 + tau_{G^(2^k)}) = sum over the whole
+        rotation group when q-1 is a power of two (true for every packing
+        prime here: 5, 17, 257 are Fermat primes); the group acts
+        transitively on the lanes (the exponent table covers all units,
+        SURVEY 2.6), so the orbit sum is the full lane sum.  The classic
+        CKKS rotate-and-accumulate inner-product/reduction primitive."""
+        if (self.q - 1) & (self.q - 2):
+            raise ValueError(
+                f"slot_sum needs q-1 a power of two (q={self.q})")
+        rc = self._gk.rc
+        q = rc._cq["q"]
+
+        def cadd(x: Ciphertext, y: Ciphertext) -> Ciphertext:
+            return Ciphertext(b=mm.add_mod(x.b, y.b, q),
+                              a=mm.add_mod(x.a, y.a, q))
+
+        out = ct
+        for idx in self._g_idx:
+            out = cadd(out, self._gk.apply(out, idx))
+        return cadd(out, self._gk.apply(out, self._t_idx))
+
 
 def x_automorphism_maps(x_dim: int, k: int):
     """Coefficient and NTT-slot actions of the X-axis Galois automorphism

@@ -167,6 +167,17 @@ class LeveledChain:
         gk = self.full_galois(a.level) if full else self.galois(a.level, j)
         return LeveledCt(gk.apply(a.ct, j), a.level, a.scale)
 
+    def multiply_plain(self, a: LeveledCt, m, m_scale: float) -> LeveledCt:
+        """Exact plaintext multiply (no keys, no fresh noise); scales
+        multiply."""
+        return LeveledCt(self.ctx(a.level).multiply_plain(a.ct, m),
+                         a.level, a.scale * m_scale)
+
+    def add_plain(self, a: LeveledCt, m) -> LeveledCt:
+        """ct + plaintext (the plaintext must be encoded at a.scale)."""
+        return LeveledCt(self.ctx(a.level).add_plain(a.ct, m),
+                         a.level, a.scale)
+
     def decrypt_to_eval(self, a: LeveledCt) -> jnp.ndarray:
         return self.ctx(a.level).decrypt_to_eval(a.ct, self.sk(a.level))
 

@@ -657,3 +657,27 @@ def test_leveled_chain_complex_pair(setup, rng):
     assert rr[0].level == rr[1].level == 1
     assert abs(rr[0].scale
                - float(p.delta) ** 2 / int(p.moduli[-1])) < 1e-6 * rr[0].scale
+
+
+def test_slot_sum_reduces_all_lanes(setup, rng):
+    """EvalSum: every W slot of slot_sum(ct) equals the sum of ALL lanes
+    of the plaintext (log2-many rotate-and-add passes)."""
+    from matrix_fhe_tpu.models.keyswitch import FullGaloisKeys
+
+    p, ctx, rc, sk, rlk = setup
+    fk = FullGaloisKeys(rc, jnp.asarray(refrng.ternary_secret(p)),
+                        jax.random.key(60))
+    m = jnp.asarray(np.stack(
+        [rng.integers(0, 1 << 18, size=(p.phi, p.n, p.n)).astype(np.uint64)
+         for _ in p.moduli]))
+    ct = ctx.encrypt(m, sk)
+    got = ctx.decrypt_to_eval(fk.slot_sum(ct), sk)
+    plain = ctx.decrypt_to_eval(ct, sk)
+    q = ctx._c4["q"]
+    lane_sum = plain[:, :1]
+    for w in range(1, p.phi):
+        lane_sum = mm.add_mod(lane_sum, plain[:, w:w + 1], q)
+    want = jnp.broadcast_to(lane_sum, plain.shape)
+    diff = mm.sub_mod(got, want, q)
+    # noise: ~phi(p) accumulated key-switch units
+    assert _composed_mag(ctx, diff, p.moduli) < 1_000_000
