@@ -207,3 +207,13 @@ class LeveledChain:
 
     def rescale_pair(self, pair):
         return (self.rescale(pair[0]), self.rescale(pair[1]))
+
+    def decrypt_decode_complex(self, pair):
+        """Decode a pair to complex matrices at ITS scale (the pair need
+        not share an `a`: each half decrypts independently)."""
+        ar, ai = pair
+        ctx = self.ctx(ar.level)
+        sk = self.sk(ar.level)
+        return ctx.batched_encoder.decode_from_wntt_eval(
+            ctx.decrypt_to_eval(ar.ct, sk), ctx.decrypt_to_eval(ai.ct, sk),
+            delta_override=ar.scale)

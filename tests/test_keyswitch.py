@@ -681,3 +681,23 @@ def test_slot_sum_reduces_all_lanes(setup, rng):
     diff = mm.sub_mod(got, want, q)
     # noise: ~phi(p) accumulated key-switch units
     assert _composed_mag(ctx, diff, p.moduli) < 1_000_000
+
+
+def test_leveled_chain_complex_encode_decode(setup, rng):
+    """encrypt_complex on ENCODED complex matrices decodes back through
+    decrypt_decode_complex at the pair's scale."""
+    from matrix_fhe_tpu.models.leveled import LeveledChain
+
+    p, ctx, rc, sk, rlk = setup
+    chain = LeveledChain(p, ring="nega", key=jax.random.key(0))
+    c0 = chain.ctx(0)
+    re = rng.uniform(-2, 2, size=(p.phi, p.n, p.n))
+    im = rng.uniform(-2, 2, size=(p.phi, p.n, p.n))
+    pr, pi = c0.batched_encoder.encode_to_wntt_eval(
+        jnp.asarray(re), jnp.asarray(im))
+    pair = chain.encrypt_complex(pr, pi)
+    dr, di = chain.decrypt_decode_complex(pair)
+    err = np.hypot(np.asarray(dr) - re, np.asarray(di) - im).max()
+    # tiny's Delta = 2^12: fresh-encryption noise decodes to ~1e-1;
+    # the ref preset (Delta = 2^35) meets 1e-4 (src/main.cu:150)
+    assert err < 0.2, err
