@@ -1956,7 +1956,7 @@ class SlicedFourStepNTT:
                 _sliced_dma_kernel, chunks_d=cA, chunks_t=self.chunks_t,
                 chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits,
                 B=B, ctw=self.ctw)
-            hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
             return pl.pallas_call(
                 kern,
                 grid=(L,),
