@@ -43,6 +43,11 @@ class LeveledChain:
     def __init__(self, params: GLParams, ring: str = "nega",
                  key: Optional[jax.Array] = None,
                  p_moduli: Optional[Sequence[int]] = None):
+        if ring != "nega":
+            # gl2 leveling runs through Gl2Context/Gl2GemmRelin (doubled X
+            # frames); the folded GL ring admits no key switching at all
+            # (keyswitch.py RelinContext docstring)
+            raise ValueError("LeveledChain supports ring='nega'")
         self.base = params
         self.ring = ring
         self.depth = len(params.moduli) - 1  # deepest usable level index
