@@ -31,6 +31,42 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main():
     os.makedirs(CACHE_DIR, exist_ok=True)
+
+    # Device watchdog: if the axon tunnel is unreachable, the first jax
+    # call hangs forever and the driver would record nothing.  Emit an
+    # explicit error JSON instead of dying silent.  Disarmed once the
+    # device responds.  BENCH_DEVICE_TIMEOUT_S=0 disables.
+    import threading
+    wd_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "900"))
+    armed = threading.Event()
+    armed.set()
+
+    def _watchdog():
+        if armed.is_set():
+            print(json.dumps({
+                "metric": "NTTs/sec/chip (N=2^16, L=16, negacyclic, "
+                          "35-bit primes)",
+                "value": 0.0, "unit": "NTT/s", "vs_baseline": 0.0,
+                "error": f"no TPU device response within {wd_s:.0f}s "
+                         "(axon tunnel unreachable)"}))
+            sys.stdout.flush()
+            os._exit(2)
+
+    wd_timer = None
+    if wd_s > 0:
+        wd_timer = threading.Timer(wd_s, _watchdog)
+        wd_timer.daemon = True
+        wd_timer.start()
+
+    # a driver SIGTERM before anything is measured gets the same honest
+    # error line (the post-measurement handler replaces this one)
+    import signal as _signal
+
+    def _early_term(signum, frame):  # pragma: no cover - signal path
+        _watchdog()
+
+    _signal.signal(_signal.SIGTERM, _early_term)
+
     import jax
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
@@ -100,6 +136,9 @@ def main():
         return (L * B) / sec
 
     ntts_per_sec = measure(fwd, inv, ITERS, impl)
+    armed.clear()               # device responded: disarm the watchdog
+    if wd_timer is not None:
+        wd_timer.cancel()
     variants = {impl: round(ntts_per_sec, 1)}
     best_tag = impl
 
