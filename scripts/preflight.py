@@ -96,6 +96,17 @@ def main():
     check("mid rescale pipeline", fn,
           sd((Lq, W, n, n), u64), sd((Lq, W, n, n), u64))
 
+    # Galois apply at mid (keygen-free: perms are pure functions of params)
+    from matrix_fhe_tpu.models.keyswitch import (GaloisKeys,
+                                                 w_automorphism_perm)
+    j = 2
+    gk = object.__new__(GaloisKeys)
+    gk.rc = rc
+    gk._keys = {}
+    gk._perms = {j: jnp.asarray(w_automorphism_perm(p, j))}
+    check("mid galois apply", lambda c, k: gk._apply_jit(j)(c, k),
+          ct, RelinKey(b=(digit,) * rc.dnum, a=(digit,) * rc.dnum))
+
     # --- gl2 GEMM+relin at tiny -------------------------------------------
     from matrix_fhe_tpu.models.he2 import Ciphertext2, Gl2Context
     from matrix_fhe_tpu.models.he_matmul2 import Gl2GemmRelin, GemmRelinKey, HEMatmul2
