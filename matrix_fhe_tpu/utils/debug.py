@@ -41,3 +41,31 @@ def count_over_i64(mag_hi_words: jnp.ndarray) -> int:
     magnitudes exceed int64 (any high word nonzero)."""
     return int(jnp.sum(jnp.any(mag_hi_words != 0, axis=-1)
                        .astype(jnp.int64)))
+
+
+def composed_magnitude(ctx, x_eval: jnp.ndarray) -> int:
+    """Max |centered CRT-composed integer| of a mod-Q element given in the
+    stored (W-eval, X-coeff) layout — THE way to measure key-switch /
+    rescale noise: a small ring element has FULL-RANGE W-eval lane values,
+    so per-lane diffs of a small element look like uniform residues
+    (round-2 finding; see docs/ARCHITECTURE.md).  Exact host bigints."""
+    dw = np.asarray(ctx.wt.inverse(x_eval)).astype(object)
+    moduli = [int(q) for q in ctx.params.moduli]
+    big_q = 1
+    for q in moduli:
+        big_q *= q
+    val = np.zeros(dw.shape[1:], dtype=object)
+    for l, q in enumerate(moduli):
+        m = big_q // q
+        val = (val + dw[l] * (pow(m, -1, q) * m % big_q)) % big_q
+    val = np.where(val > big_q // 2, val - big_q, val)
+    return int(max(abs(int(v)) for v in val.ravel()))
+
+
+def noise_magnitude(ctx, ct, sk, expected_eval: jnp.ndarray) -> int:
+    """Debug-only (requires the secret key): max |composed noise integer|
+    of `ct` against the expected plaintext (stored layout)."""
+    from ..ops import modmath as mm
+    got = ctx.decrypt_to_eval(ct, sk)
+    diff = mm.sub_mod(got, jnp.asarray(expected_eval), ctx._c4["q"])
+    return composed_magnitude(ctx, diff)
