@@ -127,6 +127,23 @@ def main():
           ct2, ct2, ks)
 
     if full:
+        # --- gl2 GEMM+relin at MID (runbook step 5c geometry) -------------
+        pm = get_params("mid")
+        g2m = Gl2Context(pm)
+        hmm = HEMatmul2(g2m)
+        grm = Gl2GemmRelin(hmm)
+        mm_dim = 2 * pm.n
+        Lm, Wm = len(pm.moduli), pm.phi
+        ct2m = Ciphertext2(b=sd((Lm, Wm, pm.n, mm_dim), u64),
+                           a=sd((Lm, Wm, pm.n, mm_dim), u64))
+        kdm = sd((len(grm.rc.qp_moduli), Wm, mm_dim, mm_dim), u64)
+        ksm = GemmRelinKey(b1=(kdm,) * grm.rc.dnum, a1=(kdm,) * grm.rc.dnum,
+                           b2=(kdm,) * grm.rc.dnum, a2=(kdm,) * grm.rc.dnum)
+        check(f"gl2 MID gemm+relin (dnum={grm.rc.dnum}, "
+              f"Lqp={len(grm.rc.qp_moduli)})",
+              lambda a, b, k: grm.relinearize_fn(hmm.tensor_fn(a, b), k),
+              ct2m, ct2m, ksm)
+
         # --- ref roundtrip + ref keyswitch with the PINNED parity P -------
         # two-phase (as kernel_census): keygen/streams execute eagerly, so
         # build them on the UN-forced CPU path, then export a fresh forced
