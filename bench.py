@@ -32,40 +32,50 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def main():
     os.makedirs(CACHE_DIR, exist_ok=True)
 
-    # Device watchdog: if the axon tunnel is unreachable, the first jax
-    # call hangs forever and the driver would record nothing.  Emit an
-    # explicit error JSON instead of dying silent.  Disarmed once the
-    # device responds.  BENCH_DEVICE_TIMEOUT_S=0 disables.
+    # Failure visibility: if the axon tunnel is unreachable the first jax
+    # call hangs forever, and a driver timeout would record nothing.  One
+    # SIGTERM handler covers every phase (error line before the first
+    # measurement, partial results after), and a watchdog timer covers the
+    # pure-hang case; the timer disarms at the FIRST device readback (so a
+    # slow-but-healthy cold compile is never misreported).
+    # BENCH_DEVICE_TIMEOUT_S=0 disables the timer (not the handler).
+    import signal
     import threading
     wd_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "900"))
-    armed = threading.Event()
-    armed.set()
+    fence_done = threading.Event()   # first device->host readback returned
+    results = {}                     # filled once the headline is measured
+
+    METRIC = "NTTs/sec/chip (N=2^16, L=16, negacyclic, 35-bit primes)"
+
+    def _emit_and_exit(reason: str):
+        if results:
+            out = {"metric": METRIC, "partial": True, **results}
+            code = 0
+        else:
+            out = {"metric": METRIC, "value": 0.0, "unit": "NTT/s",
+                   "vs_baseline": 0.0, "error": reason}
+            code = 2
+        print(json.dumps(out))
+        sys.stdout.flush()
+        os._exit(code)
+
+    def _on_term(signum, frame):  # pragma: no cover - signal path
+        _emit_and_exit("terminated before the first NTT measurement "
+                       "(tunnel unreachable, or cold compile exceeded the "
+                       "driver timeout)")
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     def _watchdog():
-        if armed.is_set():
-            print(json.dumps({
-                "metric": "NTTs/sec/chip (N=2^16, L=16, negacyclic, "
-                          "35-bit primes)",
-                "value": 0.0, "unit": "NTT/s", "vs_baseline": 0.0,
-                "error": f"no TPU device response within {wd_s:.0f}s "
-                         "(axon tunnel unreachable)"}))
-            sys.stdout.flush()
-            os._exit(2)
+        if not fence_done.is_set():
+            _emit_and_exit(f"no TPU device response within {wd_s:.0f}s "
+                           "(axon tunnel unreachable)")
 
     wd_timer = None
     if wd_s > 0:
         wd_timer = threading.Timer(wd_s, _watchdog)
         wd_timer.daemon = True
         wd_timer.start()
-
-    # a driver SIGTERM before anything is measured gets the same honest
-    # error line (the post-measurement handler replaces this one)
-    import signal as _signal
-
-    def _early_term(signum, frame):  # pragma: no cover - signal path
-        _watchdog()
-
-    _signal.signal(_signal.SIGTERM, _early_term)
 
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -119,6 +129,10 @@ def main():
         t0 = time.time()
         a, b = fwd(lo, hi)
         _ = jax.device_get(a.ravel()[:1])
+        if not fence_done.is_set():  # device responded: disarm the watchdog
+            fence_done.set()
+            if wd_timer is not None:
+                wd_timer.cancel()
         sys.stderr.write(f"[bench] {tag}: compile+first run "
                          f"{time.time()-t0:.1f}s\n")
         # chained steady-state timing, fenced by a readback
@@ -136,29 +150,15 @@ def main():
         return (L * B) / sec
 
     ntts_per_sec = measure(fwd, inv, ITERS, impl)
-    armed.clear()               # device responded: disarm the watchdog
-    if wd_timer is not None:
-        wd_timer.cancel()
     variants = {impl: round(ntts_per_sec, 1)}
     best_tag = impl
 
-    # If the driver's timeout lands mid-variant (SIGTERM from `timeout`),
-    # still emit the JSON line with everything measured so far.
-    import signal
+    def _record():  # keep the SIGTERM partial line current
+        results.update(value=round(ntts_per_sec, 1), unit="NTT/s",
+                       vs_baseline=round(ntts_per_sec / 1_000_000.0, 6),
+                       ntt_variant=best_tag, ntt_variants=variants)
 
-    state = {"partial": True}
-
-    def _emit_partial(signum, frame):  # pragma: no cover - signal path
-        state.update(metric="NTTs/sec/chip (N=2^16, L=16, negacyclic, "
-                            "35-bit primes)",
-                     value=round(ntts_per_sec, 1), unit="NTT/s",
-                     vs_baseline=round(ntts_per_sec / 1_000_000.0, 6),
-                     ntt_variant=best_tag, ntt_variants=variants)
-        print(json.dumps(state))
-        sys.stdout.flush()
-        os._exit(0)
-
-    signal.signal(signal.SIGTERM, _emit_partial)
+    _record()
 
     # Auto-variant selection (round 3): the fastest Mosaic schedule for the
     # sliced kernel depends on real-chip co-issue behaviour that can only be
@@ -184,6 +184,7 @@ def main():
                 variants[tag] = round(v, 1)
                 if v > ntts_per_sec:
                     ntts_per_sec, best_tag = v, tag
+                _record()
             except Exception as e:  # variant broken on this toolchain: skip
                 sys.stderr.write(f"[bench] {tag} failed: {e}\n")
                 variants[tag] = None

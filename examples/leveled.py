@@ -80,19 +80,9 @@ def main():
     want = ring_mul(c1, pz, px[:-1])
     perm = w_automorphism_perm(chain.params_at(1), j)
     want = want[:, jnp.asarray(perm)]
-    diff = np.asarray(mm.sub_mod(got, want, c1._c4["q"]))
-    # centered magnitude via the composed W-coeff domain
-    dw = np.asarray(c1.wt.inverse(jnp.asarray(diff))).astype(object)
-    big_q = 1
-    for q in chain.params_at(1).moduli:
-        big_q *= int(q)
-    val = np.zeros(dw.shape[1:], dtype=object)
-    for l, q in enumerate(chain.params_at(1).moduli):
-        q = int(q)
-        m_ = big_q // q
-        val = (val + dw[l] * (pow(m_, -1, q) * m_ % big_q)) % big_q
-    val = np.where(val > big_q // 2, val - big_q, val)
-    mag = int(np.abs(val.astype(np.float64)).max())
+    diff = mm.sub_mod(got, want, c1._c4["q"])
+    from matrix_fhe_tpu.utils.debug import composed_magnitude
+    mag = composed_magnitude(c1, diff)  # exact bigint noise meter
     ok = mag < 1 << 40
     print(f"[leveled] |ct - oracle| composed max = {mag} "
           f"({'OK' if ok else 'FAIL'})")

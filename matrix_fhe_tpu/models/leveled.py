@@ -141,6 +141,7 @@ class LeveledChain:
         the reduced modulus; scale unchanged)."""
         if level < a.level:
             raise ValueError("cannot switch to a larger modulus")
+        self.params_at(level)  # range-check the target level
         k = self.limbs_at(level)
         return LeveledCt(Ciphertext(b=a.ct.b[:k], a=a.ct.a[:k]),
                          level, a.scale)
@@ -201,9 +202,21 @@ class LeveledChain:
         s = float(self.base.delta) if scale is None else scale
         return (LeveledCt(ct_re, level, s), LeveledCt(ct_im, level, s))
 
+    @staticmethod
+    def _check_pair(pair):
+        ar, ai = pair
+        if ar.level != ai.level:
+            raise ValueError(
+                f"pair halves at different levels ({ar.level}, {ai.level})")
+        if abs(ar.scale - ai.scale) > 1e-6 * ar.scale:
+            raise ValueError(
+                f"pair halves at different scales ({ar.scale}, {ai.scale})")
+
     def multiply_complex(self, a_pair, b_pair):
+        self._check_pair(a_pair)
+        self._check_pair(b_pair)
         (ar, ai), (br, bi) = a_pair, b_pair
-        if not (ar.level == ai.level == br.level == bi.level):
+        if ar.level != br.level:
             raise ValueError("level mismatch across the pairs")
         outr, outi = self.rc(ar.level).multiply_relinearize_pair(
             ar.ct, ai.ct, br.ct, bi.ct, self.rlk(ar.level))
@@ -216,6 +229,7 @@ class LeveledChain:
     def decrypt_decode_complex(self, pair):
         """Decode a pair to complex matrices at ITS scale (the pair need
         not share an `a`: each half decrypts independently)."""
+        self._check_pair(pair)
         ar, ai = pair
         ctx = self.ctx(ar.level)
         sk = self.sk(ar.level)

@@ -104,14 +104,14 @@ def load_relin_key(path: str, rc):
     return _unpack_relin(z)
 
 
-def save_galois_keys(path: str, gk) -> None:
+def save_galois_keys(path: str, gk, _kind: str | None = None) -> None:
     """Checkpoint a GaloisKeys / XGaloisKeys set: only the per-index
     switching keys travel; permutation/sign tables are pure functions of
     the parameter set and are re-derived on load.  The file carries a
     kind tag ("w"/"x") so loading with the wrong-axis loader raises
     instead of silently building wrong rotation keys."""
     from ..models.keyswitch import XGaloisKeys
-    kind = "x" if isinstance(gk, XGaloisKeys) else "w"
+    kind = _kind or ("x" if isinstance(gk, XGaloisKeys) else "w")
     arrs = {"idx": np.asarray(sorted(gk._keys)), "kind": np.asarray(kind)}
     for j in sorted(gk._keys):
         arrs.update(_pack_relin(gk._keys[j], prefix=f"k{j}_"))
@@ -124,9 +124,10 @@ def _load_key_dict(path: str, rc, kind: str) -> dict:
     _check(z, rc.ext_params)
     got = str(z["kind"]) if "kind" in z else kind
     if got != kind:
+        loader = {"x": "load_x_galois_keys", "w": "load_galois_keys",
+                  "w-full": "load_full_galois_keys"}.get(got, "?")
         raise ValueError(
-            f"checkpoint holds {got!r}-axis Galois keys; use "
-            f"{'load_x_galois_keys' if got == 'x' else 'load_galois_keys'}")
+            f"checkpoint holds {got!r}-kind Galois keys; use {loader}")
     return {int(j): _unpack_relin(z, prefix=f"k{int(j)}_")
             for j in z["idx"]}
 
@@ -145,15 +146,23 @@ def load_galois_keys(path: str, rc):
 
 def save_full_galois_keys(path: str, fk) -> None:
     """Checkpoint a FullGaloisKeys set (the inner generator-tower keys;
-    group tables are a pure function of p and rebuild on load)."""
-    save_galois_keys(path, fk._gk)
+    group tables are a pure function of p and rebuild on load).  Tagged
+    'w-full' so the plain-GaloisKeys loader rejects it and vice versa."""
+    save_galois_keys(path, fk._gk, _kind="w-full")
 
 
 def load_full_galois_keys(path: str, rc):
-    from ..models.keyswitch import FullGaloisKeys
+    from ..models.keyswitch import FullGaloisKeys, GaloisKeys, \
+        w_automorphism_perm
     fk = object.__new__(FullGaloisKeys)
     fk._init_tables(rc.ctx.params.p)
-    fk._gk = load_galois_keys(path, rc)
+    keys = _load_key_dict(path, rc, "w-full")
+    gk = object.__new__(GaloisKeys)
+    gk.rc = rc
+    gk._keys = keys
+    gk._perms = {j: jnp.asarray(w_automorphism_perm(rc.ctx.params, j))
+                 for j in keys}
+    fk._gk = gk
     return fk
 
 

@@ -491,7 +491,7 @@ def test_switch_key_serialization_rejects_mismatch(setup, tmp_path):
                      jax.random.key(40))
     xpath = str(tmp_path / "xg.npz")
     ser.save_galois_keys(xpath, xg)
-    with pytest.raises(ValueError, match="x.-axis"):
+    with pytest.raises(ValueError, match="load_x_galois_keys"):
         ser.load_galois_keys(xpath, rc)
 
 
