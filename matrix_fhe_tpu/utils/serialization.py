@@ -110,7 +110,12 @@ def save_galois_keys(path: str, gk, _kind: str | None = None) -> None:
     the parameter set and are re-derived on load.  The file carries a
     kind tag ("w"/"x") so loading with the wrong-axis loader raises
     instead of silently building wrong rotation keys."""
-    from ..models.keyswitch import XGaloisKeys
+    from ..models.keyswitch import FullGaloisKeys, XGaloisKeys
+    if isinstance(gk, FullGaloisKeys) and _kind is None:
+        # ADVICE r3: a bare FullGaloisKeys has no _keys attribute — delegate
+        # instead of failing with an opaque AttributeError.
+        save_full_galois_keys(path, gk)
+        return
     kind = _kind or ("x" if isinstance(gk, XGaloisKeys) else "w")
     arrs = {"idx": np.asarray(sorted(gk._keys)), "kind": np.asarray(kind)}
     for j in sorted(gk._keys):
