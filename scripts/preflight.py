@@ -107,6 +107,18 @@ def main():
     check("mid galois apply", lambda c, k: gk._apply_jit(j)(c, k),
           ct, RelinKey(b=(digit,) * rc.dnum, a=(digit,) * rc.dnum))
 
+    # --- wide (55-bit ref parity P prime) SlicedStage ----------------------
+    from matrix_fhe_tpu.config import REF_P_MODULI
+    from matrix_fhe_tpu.ops.pallas_ntt import SlicedStage
+    qw = REF_P_MODULI[0]
+    rngw = np.random.default_rng(0)
+    for wside, shape_t, shape_x in (("left", (1, 512, 512), (1, 512, 64)),
+                                    ("right", (1, 128, 128), (1, 256, 128))):
+        tblw = rngw.integers(0, qw, shape_t, dtype=np.uint64)
+        stw = SlicedStage(tblw, (qw,), side=wside)
+        check(f"wide55 sliced stage {wside}", stw,
+              sd(shape_x), sd(shape_x))
+
     # --- gl2 GEMM+relin at tiny -------------------------------------------
     from matrix_fhe_tpu.models.he2 import Ciphertext2, Gl2Context
     from matrix_fhe_tpu.models.he_matmul2 import Gl2GemmRelin, GemmRelinKey, HEMatmul2

@@ -201,8 +201,9 @@ def test_sliced_ctw_variant_bit_exact(setup, rng, monkeypatch):
 def test_hybrid_stage_wide_modulus():
     """Transforms over a basis containing a >= 2^48 modulus (the reference's
     55-bit reserved P prime, config.h:48) must construct with use_pallas and
-    stay bit-exact: wide limb runs fall back to the XLA-composed path
-    (make_stage_hybrid), narrow runs keep the kernels."""
+    stay bit-exact.  Round 4: wide limb runs now take the width-generic
+    SlicedStage kernel (no XLA fallback) — this covers the end-to-end
+    XNTT/WTransform plumbing over a mixed-width basis."""
     import numpy as np
 
     from matrix_fhe_tpu.config import get_params, generate_ntt_primes
@@ -230,3 +231,42 @@ def test_hybrid_stage_wide_modulus():
     wo = WTransform(p, use_pallas=False)
     assert (np.asarray(wp.forward(jx)) == np.asarray(wo.forward(jx))).all()
     assert (np.asarray(wp.inverse(wp.forward(jx))) == x).all()
+
+
+def test_sliced_stage_wide_55bit_bit_exact(rng):
+    """Round 4 (VERDICT r3 Next #4): SlicedStage itself accepts moduli up to
+    2^56 — the reference's 55-bit parity P prime (config.h:48) runs its QP
+    transforms in-kernel.  Bit-exact vs the XLA-composed oracle on both
+    sides at the ref W geometry (K=512), and MFHE_WIDE_FALLBACK=1 restores
+    the round-3 XLA escape hatch with identical bits."""
+    import os
+
+    import jax.numpy as jnp
+
+    from matrix_fhe_tpu.config import REF_P_MODULI
+    from matrix_fhe_tpu.ops.modmatmul import BatchedModTransform
+    from matrix_fhe_tpu.ops.pallas_ntt import (SlicedStage,
+                                               make_stage_hybrid,
+                                               split_u64, join_u64)
+
+    q = REF_P_MODULI[0]
+    assert q.bit_length() == 55
+    for side, (W, K) in (("left", (64, 512)), ("right", (128, 128))):
+        tbl = rng.integers(0, q, (1, W, K) if side == "left" else (1, K, K),
+                           dtype=np.uint64)
+        x = rng.integers(0, q, (1, K, 32) if side == "left" else (1, 32, K),
+                         dtype=np.uint64)
+        st = SlicedStage(tbl, (q,), side=side)
+        assert st.chunks_t == 8
+        oracle = BatchedModTransform(tbl, (q,), side=side)
+        want = np.asarray(oracle(jnp.asarray(x)))
+        got = np.asarray(join_u64(*st(*split_u64(jnp.asarray(x)))))
+        np.testing.assert_array_equal(got, want)
+        # the escape hatch returns the same bits through the same contract
+        os.environ["MFHE_WIDE_FALLBACK"] = "1"
+        try:
+            fb = make_stage_hybrid(tbl, (q,), side=side)
+        finally:
+            del os.environ["MFHE_WIDE_FALLBACK"]
+        got_fb = np.asarray(join_u64(*fb(*split_u64(jnp.asarray(x)))))
+        np.testing.assert_array_equal(got_fb, want)
