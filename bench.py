@@ -167,14 +167,22 @@ def main():
     # canonical-twiddle variants and report the best.  BENCH_AUTOVAR=0 skips.
     if (impl == "sliced" and os.environ.get("BENCH_AUTOVAR", "1") == "1"
             and jax.default_backend() != "cpu"):
-        # each variant pins BOTH knobs so ambient MFHE_SLICED_* env
+        # each variant pins ALL schedule knobs so ambient MFHE_SLICED_* env
         # cannot mislabel a measurement (review r3)
-        for tag, env in (("sliced+dma", {"MFHE_SLICED_DMA": "1",
-                                         "MFHE_SLICED_CTW": "0"}),
-                         ("sliced+ctw", {"MFHE_SLICED_CTW": "1",
-                                         "MFHE_SLICED_DMA": "0"}),
-                         ("sliced+ctw+dma", {"MFHE_SLICED_CTW": "1",
-                                             "MFHE_SLICED_DMA": "1"})):
+        _off = {"MFHE_SLICED_DMA": "0", "MFHE_SLICED_CTW": "0",
+                "MFHE_SLICED_KARA_B": "0"}
+        for tag, env in (("sliced+dma", {**_off, "MFHE_SLICED_DMA": "1"}),
+                         ("sliced+ctw", {**_off, "MFHE_SLICED_CTW": "1"}),
+                         ("sliced+ctw+dma", {**_off, "MFHE_SLICED_CTW": "1",
+                                             "MFHE_SLICED_DMA": "1"}),
+                         # mixed schedule: sliced stage A + Karatsuba
+                         # convolution stage B (the projected-best form if
+                         # Mosaic co-issues MXU/VPU — docs/PERF.md round 3)
+                         ("sliced+karaB", {**_off,
+                                           "MFHE_SLICED_KARA_B": "1"}),
+                         ("sliced+karaB+dma", {**_off,
+                                               "MFHE_SLICED_KARA_B": "1",
+                                               "MFHE_SLICED_DMA": "1"})):
             saved = {k: os.environ.get(k) for k in env}
             os.environ.update(env)
             try:

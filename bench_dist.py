@@ -18,6 +18,7 @@ accordingly.  On a real pod slice the same script reports real scaling
 efficiency (target: >= 85% on 2 hosts, BASELINE.md).
 """
 
+import glob
 import json
 import os
 import subprocess
@@ -203,7 +204,97 @@ def main():
         "t1_ms": round(tb * 1e3, 2), f"t{n_dev}_ms": round(td * 1e3, 2),
         "speedup": round(tb / td, 2) if td > 0 else None}
 
+    results["cost_model"] = cost_model_inputs(
+        plan2, n_dev, measured_ntt16_rate=recorded_ntt16_rate())
+
     print(json.dumps(results))
+
+
+def recorded_ntt16_rate() -> float | None:
+    """Latest recorded on-chip N=2^16 NTT/s (BENCH_r*.json, newest non-zero).
+
+    The cost model's compute anchor must be a hardware number; the driver
+    records one per round.  Returns None when no round has a non-zero value
+    (e.g. the round-3 tunnel outage) so the caller falls back to the
+    standing BASELINE.md figure and flags it "assumed".
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(f) as fh:
+                rec = json.load(fh)
+            rec = rec.get("parsed", rec)
+            if (rec.get("value") or 0) > 0 and "NTT" in str(rec.get("metric", "")):
+                best = float(rec["value"])
+        except (OSError, ValueError):
+            continue
+    return best
+
+
+def cost_model_inputs(plan, d: int, hosts: int = 2,
+                      measured_ntt16_rate: float | None = None) -> dict:
+    """2-host scaling cost model for the coeff-sharded four-step NTT
+    (VERDICT r3 Next #7; full derivation in docs/PERF.md round 4).
+
+    Exact byte counts of the ONE all_to_all stage exchange
+    (dist_ntt.py fwd_local) per (poly, limb), plus projected 2-host
+    efficiency at parameterized link speeds.  Bandwidth defaults are
+    public v5e figures and are explicitly overridable:
+      MFHE_ICI_GBPS (per-chip one-way all_to_all bandwidth, default 45)
+      MFHE_DCN_GBPS (per-host cross-host bandwidth, default 25)
+    The compute anchor is the measured single-chip NTT/s at N=2^16 when
+    available (pass measured_ntt16_rate), else the standing BENCH number
+    (109.6k/s, flagged "assumed").
+    """
+    N = plan.n
+    rate16 = measured_ntt16_rate or 109.6e3
+    # per-poly MAC scaling vs the N=2^16 (256x256) anchor: N*(n1+n2)
+    mac_ratio = (N * (plan.n1 + plan.n2)) / ((1 << 16) * 512)
+    t_poly = mac_ratio / rate16                       # serial seconds/poly
+    ici_bw = float(os.environ.get("MFHE_ICI_GBPS", "45")) * 1e9
+    dcn_bw = float(os.environ.get("MFHE_DCN_GBPS", "25")) * 1e9
+
+    # one all_to_all of the [n1, n2]-tile, 8 B/coeff (u32 lo/hi pair):
+    bytes_total = 8 * N * (d - 1) // d                # all devices, per poly-limb
+    bytes_per_dev = bytes_total // d                  # each device sends this
+    # fraction of (src, dst) pairs crossing the host bisection = 1/hosts
+    # each way for equal hosts: one-way cross-DCN bytes per poly-limb
+    bytes_dcn_oneway = 8 * N // (2 * hosts)
+
+    t_comp_dev = t_poly / d                           # per poly-limb, per device
+    t_ici = bytes_per_dev / ici_bw
+    t_dcn = bytes_dcn_oneway / dcn_bw / (hosts / 2)   # per-host NIC serializes
+    t_comm = max(t_ici, t_dcn)
+    # per-host compute share (all d chips work on the same poly)
+    t_comp_host = t_poly / hosts
+    eff_serial = t_comp_dev / (t_comp_dev + t_comm)
+    eff_pipelined = t_comp_dev / max(t_comp_dev, t_comm)
+    return {
+        "config": {"N": N, "n1": plan.n1, "n2": plan.n2, "devices": d,
+                   "hosts": hosts},
+        "anchor_ntt16_per_sec": rate16,
+        "anchor_is_measured": measured_ntt16_rate is not None,
+        "assumed_ici_gbps": ici_bw / 1e9,
+        "assumed_dcn_gbps": dcn_bw / 1e9,
+        "per_poly_limb": {
+            "a2a_bytes_per_device": bytes_per_dev,
+            "a2a_bytes_total": bytes_total,
+            "dcn_bytes_oneway": bytes_dcn_oneway,
+            "compute_us_per_device": round(t_comp_dev * 1e6, 2),
+            "compute_us_per_host": round(t_comp_host * 1e6, 2),
+            "ici_us": round(t_ici * 1e6, 2),
+            "dcn_us": round(t_dcn * 1e6, 2),
+        },
+        "projected_efficiency_no_overlap": round(eff_serial, 3),
+        "projected_efficiency_limb_pipelined": round(eff_pipelined, 3),
+        "comm_bound": t_comm > t_comp_dev,
+        "note": ("limb/batch sharding is zero-comm (100% efficiency) "
+                 "whenever independent work B*L >= devices — the "
+                 "throughput config; coeff-sharding is the single-"
+                 "transform latency tool and needs the all_to_all "
+                 "pipelined across independent limbs to clear 85%"),
+    }
 
 
 if __name__ == "__main__":

@@ -1317,7 +1317,7 @@ def _tw_mul_lazy(vh, vl, twsl, twsh, qh, ql, qi32):
 def _sliced_tile(lo, hi, tA, tB, twl, twh, ql, qh, qi32, qi28, *,
                  chunks_d: int, chunks_t: int, chunks_mid: int,
                  sides: Tuple[str, str], k: int, bits: int,
-                 qih=None, ctw: bool = False):
+                 qih=None, ctw: bool = False, kara_b=None):
     """Both four-step stages + inter-stage twiddle on one [n1, n2] tile
     (arrays in, arrays out — shared by the grid-pipelined and the
     explicit-DMA kernels).  tA/tB are accessors chunk-index -> plane.
@@ -1327,16 +1327,33 @@ def _sliced_tile(lo, hi, tA, tB, twl, twh, ql, qh, qi32, qi28, *,
     the lazy R=2^32 form.  Costs ~8 extra VPU ops/element but feeds
     stage B a 5-digit extraction instead of 6, cutting stage-B MXU work
     by chunks_mid/chunks_d: the right trade when MXU is the binding
-    resource (co-issue machine), the wrong one on a serial machine."""
+    resource (co-issue machine), the wrong one on a serial machine.
+
+    kara_b (MFHE_SLICED_KARA_B=1): the "mixed" schedule from the round-3
+    roof analysis (docs/PERF.md) — stage A stays sliced (cheapest VPU
+    fold), the twiddle is canonical (implies ctw tables), and stage B
+    runs in the round-1 Karatsuba CONVOLUTION form: 18 dots instead of
+    25 at 5 digits (a 28% stage-B MXU cut) paid for with the heavier
+    9-diagonal carry-counted pack + full REDC on the VPU.  Projected
+    best variant if Mosaic co-issues MXU/VPU (~263k NTT/s at 35-bit),
+    strictly worse on a serial machine — a measurement candidate, not a
+    default.  kara_b is a (scheme, bias_bits, neg_c_words, pair_pack)
+    tuple from _plan_scheme."""
     axA = 0 if sides[0] == "left" else 1
     dcat = _data_digits(lo, hi, chunks_d, axA)
     diags = _sliced_dots(dcat, tA, chunks_t, sides[0])
     vh, vl = _fold_redc28(diags, qh, ql, qi28,
                           diag_bound=chunks_d * k * 127 * 127, bits=bits)
-    if ctw:
+    if ctw or kara_b is not None:
         uh, ul = _montmul48(vh, vl, twh, twl, qh, ql, qih, qi32)
     else:
         uh, ul = _tw_mul_lazy(vh, vl, twl, twh, qh, ql, qi32)
+    if kara_b is not None:
+        scheme, bias_bits, neg_c_words, pair_pack = kara_b
+        return _mod_matmul_tile(ul, uh, tB, (qh, ql, qih, qi32),
+                                scheme=scheme, bias_bits=bias_bits,
+                                neg_c_words=neg_c_words, side=sides[1],
+                                pair_pack=pair_pack)
     axB = 0 if sides[1] == "left" else 1
     ucat = _data_digits(ul, uh, chunks_mid, axB)
     diags2 = _sliced_dots(ucat, tB, chunks_t, sides[1])
@@ -1348,7 +1365,7 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
                        sc_ref, olo_ref, ohi_ref,
                        *, chunks_d: int, chunks_t: int, chunks_mid: int,
                        sides: Tuple[str, str], k: int, bits: int, bb: int,
-                       ctw: bool = False):
+                       ctw: bool = False, kara_b=None):
     """Both four-step stages + the inter-stage twiddle on one [n1, n2] tile
     (`bb` of them per grid cell), sliced-table fold design (see module
     comment above).
@@ -1359,10 +1376,10 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
     import os as _os
     _abl = _os.environ.get("MFHE_SLICED_ABLATE", "")
     _ilv = _os.environ.get("MFHE_SLICED_ILV", "") == "1" and bb > 1
-    if ctw and (_ilv or _abl):
-        raise ValueError("MFHE_SLICED_CTW is incompatible with the ILV/"
-                         "ablation experiment paths (they assume the lazy "
-                         "2^32-form twiddle tables)")
+    if (ctw or kara_b is not None) and (_ilv or _abl):
+        raise ValueError("MFHE_SLICED_CTW/KARA_B is incompatible with the "
+                         "ILV/ablation experiment paths (they assume the "
+                         "lazy 2^32-form twiddle tables)")
     ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
     qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
     if _ilv:
@@ -1407,7 +1424,7 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
                 lo, hi, lambda c: tA_ref[0, c], lambda c: tB_ref[0, c],
                 twl_ref[0, 0], twh_ref[0, 0], ql, qh, qi32, qi28,
                 chunks_d=chunks_d, chunks_t=chunks_t, chunks_mid=chunks_mid,
-                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw)
+                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw, kara_b=kara_b)
             olo_ref[0, j] = rl
             ohi_ref[0, j] = rh
             continue
@@ -1452,7 +1469,7 @@ def _sliced_dma_kernel(dlo_hbm, dhi_hbm, tA_ref, tB_ref, twl_ref, twh_ref,
                        sc_ref, olo_hbm, ohi_hbm,
                        *, chunks_d: int, chunks_t: int, chunks_mid: int,
                        sides: Tuple[str, str], k: int, bits: int, B: int,
-                       ctw: bool = False):
+                       ctw: bool = False, kara_b=None):
     """Explicit-DMA double-buffered variant of _sliced_ntt_kernel
     (MFHE_SLICED_DMA=1): grid is (L,) only; the B axis streams through a
     2-slot VMEM scratch ring with hand-issued async copies, so tile b+1's
@@ -1507,7 +1524,7 @@ def _sliced_dma_kernel(dlo_hbm, dhi_hbm, tA_ref, tB_ref, twl_ref, twh_ref,
                 ilo[s], ihi[s], lambda c: tA_ref[0, c], lambda c: tB_ref[0, c],
                 twl_ref[0, 0], twh_ref[0, 0], ql, qh, qi32, qi28,
                 chunks_d=chunks_d, chunks_t=chunks_t, chunks_mid=chunks_mid,
-                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw)
+                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw, kara_b=kara_b)
             slo[s] = rl
             shi[s] = rh
             out_lo(b, s).start()
@@ -1929,6 +1946,10 @@ class SlicedFourStepNTT:
         self.chunks_t = self.chunks_d
         import os
         self.ctw = os.environ.get("MFHE_SLICED_CTW") == "1"
+        self.kara_b = os.environ.get("MFHE_SLICED_KARA_B") == "1"
+        if self.kara_b:
+            # the mixed schedule needs a canonical (< q) stage-B input
+            self.ctw = True
         if self.ctw:
             # canonical twiddle: stage B sees a < q value, chunks_d digits
             self.chunks_mid = self.chunks_d
@@ -1940,9 +1961,18 @@ class SlicedFourStepNTT:
             tw_pow = 32
         t1f, t2f, t1i, t2i, twf, twi = _four_step_tables(plan)
         self._t1f = jnp.asarray(_slice_tables(t1f, mods, self.chunks_d))
-        self._t2f = jnp.asarray(_slice_tables(t2f, mods, self.chunks_mid))
-        self._t1i = jnp.asarray(_slice_tables(t1i, mods, self.chunks_mid))
         self._t2i = jnp.asarray(_slice_tables(t2i, mods, self.chunks_d))
+        if self.kara_b:
+            # second-applied stage in the round-1 convolution form
+            # (Montgomery-domain combo planes, Karatsuba grid)
+            (scheme_b, bias_b, negc_b, pp_b) = _plan_scheme(plan.n1, bits)
+            self._kb = (scheme_b, bias_b, negc_b, pp_b)
+            self._t2f = jnp.asarray(_split_tables(t2f, mods, scheme_b.combos))
+            self._t1i = jnp.asarray(_split_tables(t1i, mods, scheme_b.combos))
+        else:
+            self._kb = None
+            self._t2f = jnp.asarray(_slice_tables(t2f, mods, self.chunks_mid))
+            self._t1i = jnp.asarray(_slice_tables(t1i, mods, self.chunks_mid))
         tws_f = np.empty_like(twf)
         tws_i = np.empty_like(twi)
         for l, q in enumerate(mods):
@@ -1973,11 +2003,16 @@ class SlicedFourStepNTT:
         bb = max(1, int(os.environ.get("MFHE_SLICED_BB", "1")))
         while B % bb:
             bb //= 2
+        if self.kara_b:
+            nb_planes = len(self._kb[0].combos)
+            tB_block = (1, nb_planes, n1, n1)
+        else:
+            tB_block = (1, self.chunks_t, n1, self.chunks_mid * n1)
         if os.environ.get("MFHE_SLICED_DMA") == "1":
             kern = functools.partial(
                 _sliced_dma_kernel, chunks_d=cA, chunks_t=self.chunks_t,
                 chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits,
-                B=B, ctw=self.ctw)
+                B=B, ctw=self.ctw, kara_b=self._kb)
             hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
             return pl.pallas_call(
                 kern,
@@ -1986,8 +2021,7 @@ class SlicedFourStepNTT:
                           pl.BlockSpec((1, self.chunks_t, n1, cA * n1),
                                        lambda l: (l, 0, 0, 0),
                                        memory_space=pltpu.VMEM),
-                          pl.BlockSpec((1, self.chunks_t, n1,
-                                        self.chunks_mid * n1),
+                          pl.BlockSpec(tB_block,
                                        lambda l: (l, 0, 0, 0),
                                        memory_space=pltpu.VMEM),
                           pl.BlockSpec((1, 1, n1, n2), lambda l: (l, 0, 0, 0),
@@ -2005,13 +2039,13 @@ class SlicedFourStepNTT:
         kern = functools.partial(
             _sliced_ntt_kernel, chunks_d=cA, chunks_t=self.chunks_t,
             chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits, bb=bb,
-            ctw=self.ctw)
+            ctw=self.ctw, kara_b=self._kb)
         data_spec = pl.BlockSpec((1, bb, n1, n2), lambda l, b: (l, b, 0, 0),
                                  memory_space=pltpu.VMEM)
         tA_spec = pl.BlockSpec((1, self.chunks_t, n1, cA * n1),
                                lambda l, b: (l, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-        tB_spec = pl.BlockSpec((1, self.chunks_t, n1, self.chunks_mid * n1),
+        tB_spec = pl.BlockSpec(tB_block,
                                lambda l, b: (l, 0, 0, 0),
                                memory_space=pltpu.VMEM)
         tw_spec = pl.BlockSpec((1, 1, n1, n2), lambda l, b: (l, 0, 0, 0),

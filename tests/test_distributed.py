@@ -116,3 +116,37 @@ def test_keyswitch_sharded_matches_unsharded(rng):
     got = f(ct1, ct2, rlk)
     np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
     np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+
+
+def test_cost_model_inputs():
+    """bench_dist cost_model: exact byte accounting + the DCN-bound finding.
+
+    The coeff-sharded four-step NTT moves the whole polynomial once over
+    the all_to_all while per-chip compute shrinks as 1/d — the model must
+    report it comm-bound across hosts (docs/PERF.md round 4)."""
+    import bench_dist as bd
+
+    class Plan:
+        n = 1 << 17
+        n1 = 512
+        n2 = 256
+
+    m = bd.cost_model_inputs(Plan, 8, measured_ntt16_rate=109.6e3)
+    per = m["per_poly_limb"]
+    # each device holds N/d coeffs at 8 B and sends the (d-1)/d remote share
+    assert per["a2a_bytes_per_device"] == 8 * (1 << 17) // 8 * 7 // 8
+    # one-way cross-DCN bytes per host = half of the host's half of the data
+    assert per["dcn_bytes_oneway"] == 8 * (1 << 17) // 4
+    assert m["comm_bound"] is True
+    assert m["anchor_is_measured"] is True
+    assert 0 < m["projected_efficiency_no_overlap"] < 0.85
+    # anchor fallback is flagged
+    m2 = bd.cost_model_inputs(Plan, 8)
+    assert m2["anchor_is_measured"] is False
+
+
+def test_recorded_ntt16_rate_reads_bench_records():
+    import bench_dist as bd
+    r = bd.recorded_ntt16_rate()
+    # BENCH_r02.json carries 109329.9; r03 is the zero-value outage record
+    assert r is None or r > 0

@@ -270,3 +270,29 @@ def test_sliced_stage_wide_55bit_bit_exact(rng):
             del os.environ["MFHE_WIDE_FALLBACK"]
         got_fb = np.asarray(join_u64(*fb(*split_u64(jnp.asarray(x)))))
         np.testing.assert_array_equal(got_fb, want)
+
+
+def test_sliced_kara_b_variant_bit_exact(setup, rng, monkeypatch):
+    """MFHE_SLICED_KARA_B=1 (the "mixed" schedule from the round-3 roof
+    analysis: sliced stage A + canonical Montgomery twiddle + Karatsuba
+    CONVOLUTION-form stage B, 18 dots instead of 25) == the default
+    sliced kernel, both directions, and composes with MFHE_SLICED_DMA=1."""
+    plan, _, _ = setup
+    base = pn.SlicedFourStepNTT(plan)
+    monkeypatch.setenv("MFHE_SLICED_KARA_B", "1")
+    kb = pn.SlicedFourStepNTT(plan)
+    assert kb.ctw and kb._kb is not None
+    monkeypatch.setenv("MFHE_SLICED_DMA", "1")
+    both = pn.SlicedFourStepNTT(plan)
+    x = np.stack([rng.integers(0, q, size=(2, plan.n), dtype=np.uint64)
+                  for q in plan.moduli])
+    xj = jnp.asarray(x)
+    want = base.forward(xj)
+    np.testing.assert_array_equal(np.asarray(want),
+                                  np.asarray(kb.forward(xj)))
+    np.testing.assert_array_equal(np.asarray(want),
+                                  np.asarray(both.forward(xj)))
+    np.testing.assert_array_equal(np.asarray(base.inverse(want)),
+                                  np.asarray(kb.inverse(want)))
+    np.testing.assert_array_equal(np.asarray(xj),
+                                  np.asarray(kb.inverse(want)))
