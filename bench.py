@@ -102,7 +102,13 @@ def main():
     if impl == "sliced":
         # round-2 sliced-table fold kernel; data stays in the native
         # [L, B, n1, n2] u32-pair tile layout across chained calls (the
-        # [L,B,N] reshape around the Mosaic call costs a real XLA copy)
+        # [L,B,N] reshape around the Mosaic call costs a real XLA copy).
+        # Pin the schedule knobs off so ambient MFHE_SLICED_* env cannot
+        # mislabel the base row (the auto-variant loop re-enables them
+        # one pinned combination at a time).
+        for _knob in ("MFHE_SLICED_DMA", "MFHE_SLICED_CTW",
+                      "MFHE_SLICED_KARA_B"):
+            os.environ.pop(_knob, None)
         ntt = SlicedFourStepNTT(plan)
         fwd = jax.jit(ntt.forward_pair4)
         inv = jax.jit(ntt.inverse_pair4)

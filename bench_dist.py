@@ -16,6 +16,10 @@ programs end-to-end (compile + execute + bit-exactness vs single-device)
 but is not a hardware performance claim; the printed JSON is labeled
 accordingly.  On a real pod slice the same script reports real scaling
 efficiency (target: >= 85% on 2 hosts, BASELINE.md).
+
+Validation knobs: BENCH_DIST_CPU=1 pins the CPU mesh without touching the
+device backend (a dead axon tunnel can hang jax.default_backend() for
+minutes); BENCH_DIST_QUICK=1 shrinks shapes for CPU-speed smoke runs.
 """
 
 import glob
@@ -123,7 +127,20 @@ def main():
             flags + f" --xla_force_host_platform_device_count={n_want}"
         ).strip()
     import jax
-    if jax.default_backend() != "tpu" or len(jax.devices()) < 2:
+    if os.environ.get("BENCH_DIST_CPU") == "1":
+        # validation mode: pin the CPU mesh BEFORE the first backend touch —
+        # with the axon plugin loaded and the tunnel down,
+        # jax.default_backend() itself can hang for minutes
+        on_tpu = False
+    else:
+        try:
+            on_tpu = (jax.default_backend() == "tpu"
+                      and len(jax.devices()) >= 2)
+        except RuntimeError as e:  # axon plugin loaded but tunnel down
+            sys.stderr.write(f"[bench_dist] device backend failed ({e}); "
+                             "falling back to the virtual CPU mesh\n")
+            on_tpu = False
+    if not on_tpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
         validation_only = True
@@ -159,7 +176,13 @@ def main():
     rng = np.random.default_rng(0)
 
     # --- dp (limb)-sharded N=2^16 NTT: zero-communication scaling ---------
-    N, L, B = 1 << 16, 16, 8
+    # BENCH_DIST_QUICK=1 shrinks the shapes for CPU-mesh smoke validation
+    # (the full N=2^16/2^17 u64 path takes >30 min of CPU; the program
+    # structure, shardings, and bit-exact fences are size-independent)
+    quick = os.environ.get("BENCH_DIST_QUICK") == "1"
+    if quick:
+        results["quick"] = True
+    N, L, B = (1 << 12, 8, 8) if quick else (1 << 16, 16, 8)
     primes = generate_primes_1mod(L, 35, 2 * N)
     plan = FourStepPlan.make(N, primes)
     ntt = FourStepNTT(plan)
@@ -184,7 +207,7 @@ def main():
     assert (np.asarray(fN(x)) == np.asarray(f1(x))).all()
 
     # --- coefficient-sharded N=2^17 with all_to_all stage exchange --------
-    N2 = 1 << 17
+    N2 = 1 << 13 if quick else 1 << 17
     primes2 = generate_primes_1mod(4, 35, 2 * N2)
     plan2 = FourStepPlan.make(N2, primes2)
     x2 = jnp.asarray(np.stack(

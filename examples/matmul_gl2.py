@@ -49,7 +49,15 @@ def main():
     t0 = time.time()
     ctx = Gl2Context(p)
     hm = HEMatmul2(ctx)
-    gr = Gl2GemmRelin(hm)
+    # MFHE_AUTO_P=1: grid-aware generated P basis (dnum=1) instead of a
+    # preset-pinned one — REQUIRED at "ref" scale: the pinned parity P
+    # gives dnum=4 and ~27 GB of [m, m]-grid switch keys (4x HBM); the
+    # auto basis fits one chip (~6.7 GB keys at Lqp=25)
+    if os.environ.get("MFHE_AUTO_P") == "1":
+        from matrix_fhe_tpu.models.keyswitch import RelinContext
+        gr = Gl2GemmRelin(hm, RelinContext(ctx, p_moduli="auto"))
+    else:
+        gr = Gl2GemmRelin(hm)
     sk = ctx.generate_secret_key(jax.random.key(1))
     ks = gr.gen_keys(sk, jax.random.key(9))
     jax.block_until_ready(ks.b1)

@@ -232,27 +232,26 @@ class Encoder:
         # ADVICE r3: e_scale <= delta_bits means the message magnitude is
         # beyond the documented contract; clamping the shift to 1 would
         # silently scale every residue by a wrong power of two.  Fail loudly
-        # host-side when concrete, and emit a traced debug check otherwise.
+        # host-side when concrete; when traced, ZERO every residue instead
+        # (a poisoned-but-unmistakable output: decode returns ~0, never a
+        # subtly mis-scaled value).  A callback-based warning (jax.debug
+        # .print) is deliberately NOT used here: host callbacks cannot
+        # cross-platform-lower (jax.export platforms=("tpu",) from a CPU
+        # host — the offline preflight path — fails with a backend/platform
+        # mismatch on any debug callback).
         if not isinstance(diff, jax.core.Tracer):
             if int(jnp.min(diff)) < 1:
                 raise ValueError(
                     "quantize_words: message magnitude exceeds the encode "
                     f"contract (e_scale={int(jnp.min(e_scale))} <= "
                     f"delta_bits={db}); residues would be mis-scaled")
-        else:
-            jax.lax.cond(
-                jnp.min(diff) < 1,
-                lambda: jax.debug.print(
-                    "WARNING quantize_words: e_scale {} <= delta_bits {} — "
-                    "residues mis-scaled (message beyond encode contract)",
-                    jnp.min(e_scale), db),
-                lambda: None)
+        ok = (jnp.min(diff) >= 1).astype(jnp.uint64)
         sh = jnp.maximum(diff, np.int32(1))
         consts = [mm.MontConsts.make(int(q)) for q in self.params.moduli]
         outs = []
         for m0, m1, m2, sg in (words_re, words_im):
             lo, hi = words_shr_round(m0, m1, m2, sh)
-            v = mm.pair_join(lo, hi)
+            v = mm.pair_join(lo, hi) * ok
             neg = sg.astype(jnp.uint64) != 0
             los, his = [], []
             for c in consts:

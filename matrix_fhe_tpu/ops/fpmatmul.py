@@ -36,6 +36,7 @@ cut over the rr/ri/ir/ii form) and 2 packs.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Tuple
 
 import jax
@@ -49,8 +50,15 @@ from .pallas_ntt import CHUNK_BITS, _sum_words
 
 U32 = jnp.uint32
 F64 = jnp.float64
-X_BITS = 37           # dynamic input scaling targets |x_int| <= 2^X_BITS
-DATA_CHUNKS = 6       # balanced digits cover |x_int| < 2^40
+# Dynamic input scaling targets |x_int| <= 2^X_BITS; the balanced digit
+# count follows (exactness bound: |v| < 2^(7*chunks - 2)).  MFHE_FP_XBITS
+# overrides (read once at import): 37 (default) -> 6 data digits; 31 ->
+# 5 digits, a 17% MXU cut on every fp-transform kernel at ~2^-31-relative
+# input quantization instead of 2^-38 — measured-headroom trade for the
+# roundtrip target (<25 ms, err <= 1e-4; see docs/PERF.md round 4).
+X_BITS = int(_os.environ.get("MFHE_FP_XBITS", "37"))
+assert 20 <= X_BITS <= 44, "MFHE_FP_XBITS out of the supported range"
+DATA_CHUNKS = -(-(X_BITS + 3) // 7)   # digits cover |x_int| <= 2^X_BITS
 T_DIGITS = 5          # table digit planes; scale chosen per table (below)
 # the exact sum stays < K * 2^38 * 2^34 = 2^81 << 2^95 (the 4-word pack)
 

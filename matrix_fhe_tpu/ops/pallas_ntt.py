@@ -1772,11 +1772,16 @@ class SlicedInvCompose:
 def _sliced_mul_ntt_kernel(dlo_ref, dhi_ref, slo_ref, shi_ref, tf_ref,
                            ti_ref, sc_ref, olo_ref, ohi_ref,
                            *, chunks_d: int, chunks_t: int, chunks_mid: int,
-                           k: int, bits: int, rep: int):
+                           k: int, bits: int, rep: int, kara_b=None):
     """iNTT_X(NTT_X(a) * s) with the sliced fold: forward stage, lazy
     Montgomery multiply by s (stored s * 2^32 mod q), 6..9-digit inverse
     stage consuming the lazy value (same mechanics as the four-step
-    inter-stage twiddle)."""
+    inter-stage twiddle).
+
+    kara_b (MFHE_SLICED_KARA_B=1): same mixed schedule as the four-step
+    kernel — canonical s-multiply (s arrives as s_mont = s * 2^64, so one
+    _montmul48 gives the plain product) + Karatsuba convolution-form
+    inverse stage."""
     ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
     qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
     lo = dlo_ref[0]
@@ -1793,6 +1798,18 @@ def _sliced_mul_ntt_kernel(dlo_ref, dhi_ref, slo_ref, shi_ref, tf_ref,
                               ).reshape(tw_rows * rep, kk)
         sh = jnp.broadcast_to(sh[:, None, :], (tw_rows, rep, kk)
                               ).reshape(tw_rows * rep, kk)
+    if kara_b is not None:
+        qih = sc_ref[0, 0, 4]
+        uh, ul = _montmul48(vh, vl, sh, sl, qh, ql, qih, qi32)
+        scheme, bias_bits, neg_c_words, pair_pack = kara_b
+        rh, rl = _mod_matmul_tile(ul, uh, lambda c: ti_ref[0, c],
+                                  (qh, ql, qih, qi32), scheme=scheme,
+                                  bias_bits=bias_bits,
+                                  neg_c_words=neg_c_words, side="right",
+                                  pair_pack=pair_pack)
+        olo_ref[0] = rl
+        ohi_ref[0] = rh
+        return
     uh, ul = _tw_mul_lazy(vh, vl, sl, sh, qh, ql, qi32)
     ucat = _data_digits(ul, uh, chunks_mid, 1)
     diags2 = _sliced_dots(ucat, lambda c: ti_ref[0, c], chunks_t, "right")
@@ -1817,16 +1834,30 @@ class SlicedNttMulNtt:
         assert self.bits < 48
         self.chunks_d = -(-self.bits // CHUNK_BITS)
         self.chunks_t = self.chunks_d
-        lazy_bits = self.bits + max(2, self.bits - 31)
-        self.chunks_mid = -(-lazy_bits // CHUNK_BITS)
+        import os
+        self.kara_b = os.environ.get("MFHE_SLICED_KARA_B") == "1"
+        if self.kara_b:
+            self.chunks_mid = self.chunks_d
+        else:
+            lazy_bits = self.bits + max(2, self.bits - 31)
+            self.chunks_mid = -(-lazy_bits // CHUNK_BITS)
         self._tf = jnp.asarray(_slice_tables(fwd_tables, moduli,
                                              self.chunks_d))
-        # s arrives in SecretKey storage form s_mont = s * 2^64 mod q; the
-        # lazy multiply then yields v * s * 2^32, and the extra 2^32 is
-        # cancelled here by folding 2^-32 into the inverse-stage tables
-        self._ti = jnp.asarray(_slice_tables(inv_tables, moduli,
-                                             self.chunks_mid,
-                                             extra_pow2=-32))
+        if self.kara_b:
+            # mixed schedule: canonical s-product (one _montmul48 on the
+            # s_mont storage form), inverse stage in the Karatsuba
+            # convolution form (Montgomery-domain combo planes)
+            self._kb = _plan_scheme(K, self.bits)
+            self._ti = jnp.asarray(
+                _split_tables(inv_tables, moduli, self._kb[0].combos))
+        else:
+            self._kb = None
+            # s arrives in SecretKey storage form s_mont = s * 2^64 mod q;
+            # the lazy multiply then yields v * s * 2^32, and the extra
+            # 2^32 is cancelled by folding 2^-32 into the inverse tables
+            self._ti = jnp.asarray(_slice_tables(inv_tables, moduli,
+                                                 self.chunks_mid,
+                                                 extra_pow2=-32))
         self._sc = jnp.asarray(_sliced_consts(moduli))
         self.moduli = tuple(int(q) for q in moduli)
 
@@ -1836,7 +1867,7 @@ class SlicedNttMulNtt:
         kern = functools.partial(
             _sliced_mul_ntt_kernel, chunks_d=self.chunks_d,
             chunks_t=self.chunks_t, chunks_mid=self.chunks_mid,
-            k=K, bits=self.bits, rep=self.rep)
+            k=K, bits=self.bits, rep=self.rep, kara_b=self._kb)
         nt = rows // tile
         tw = tile // self.rep
         data_spec = pl.BlockSpec((1, tile, K), lambda l, r: (l, r, 0),
@@ -1846,7 +1877,11 @@ class SlicedNttMulNtt:
         tf_spec = pl.BlockSpec((1, self.chunks_t, K, self.chunks_d * K),
                                lambda l, r: (l, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-        ti_spec = pl.BlockSpec((1, self.chunks_t, K, self.chunks_mid * K),
+        if self.kara_b:
+            ti_block = (1, len(self._kb[0].combos), K, K)
+        else:
+            ti_block = (1, self.chunks_t, K, self.chunks_mid * K)
+        ti_spec = pl.BlockSpec(ti_block,
                                lambda l, r: (l, 0, 0, 0),
                                memory_space=pltpu.VMEM)
         sc_spec = pl.BlockSpec((1, 1, 6), lambda l, r: (l, 0, 0),

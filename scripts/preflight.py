@@ -63,7 +63,10 @@ def main():
                          ("dma", {"MFHE_SLICED_DMA": "1"}),
                          ("ctw", {"MFHE_SLICED_CTW": "1"}),
                          ("ctw+dma", {"MFHE_SLICED_CTW": "1",
-                                      "MFHE_SLICED_DMA": "1"})):
+                                      "MFHE_SLICED_DMA": "1"}),
+                         ("karaB", {"MFHE_SLICED_KARA_B": "1"}),
+                         ("karaB+dma", {"MFHE_SLICED_KARA_B": "1",
+                                        "MFHE_SLICED_DMA": "1"})):
             saved = {k: os.environ.get(k) for k in env}
             os.environ.update(env)
             try:
@@ -155,6 +158,25 @@ def main():
               f"Lqp={len(grm.rc.qp_moduli)})",
               lambda a, b, k: grm.relinearize_fn(hmm.tensor_fn(a, b), k),
               ct2m, ct2m, ksm)
+
+        # --- gl2 GEMM+relin at REF with the auto P (runbook step 5c2:
+        # the pinned parity P would give dnum=4 / ~27 GB keys; the
+        # flagship ref-scale run uses MFHE_AUTO_P=1) ---------------------
+        prg = get_params("ref")
+        g2r = Gl2Context(prg)
+        hmr = HEMatmul2(g2r)
+        grr = Gl2GemmRelin(hmr, RelinContext(g2r, p_moduli="auto"))
+        mr = 2 * prg.n
+        Lg2, Wg2 = len(prg.moduli), prg.phi
+        ct2r = Ciphertext2(b=sd((Lg2, Wg2, prg.n, mr), u64),
+                           a=sd((Lg2, Wg2, prg.n, mr), u64))
+        kdr = sd((len(grr.rc.qp_moduli), Wg2, mr, mr), u64)
+        ksr = GemmRelinKey(b1=(kdr,) * grr.rc.dnum, a1=(kdr,) * grr.rc.dnum,
+                           b2=(kdr,) * grr.rc.dnum, a2=(kdr,) * grr.rc.dnum)
+        check(f"gl2 REF gemm+relin auto-P (dnum={grr.rc.dnum}, "
+              f"Lqp={len(grr.rc.qp_moduli)})",
+              lambda a, b, k: grr.relinearize_fn(hmr.tensor_fn(a, b), k),
+              ct2r, ct2r, ksr)
 
         # --- ref roundtrip + ref keyswitch with the PINNED parity P -------
         # two-phase (as kernel_census): keygen/streams execute eagerly, so

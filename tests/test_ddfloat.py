@@ -126,3 +126,32 @@ def test_exact_fp_edge_inputs(rng):
         err = max(np.abs(np.asarray(yr) - want.real).max(),
                   np.abs(np.asarray(yi) - want.imag).max())
         assert err < 1e-7 * max(1.0, np.abs(want).max()), err
+
+
+def test_fp_matmul_5digit_mode(monkeypatch):
+    """MFHE_FP_XBITS=31 (5 balanced data digits, a 17% MXU cut on the fp
+    transforms): the kernel machinery stays exact — only the input
+    quantization coarsens (2^-31-relative instead of 2^-38)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import matrix_fhe_tpu.ops.fpmatmul as fp
+
+    monkeypatch.setattr(fp, "X_BITS", 31)
+    monkeypatch.setattr(fp, "DATA_CHUNKS", 5)
+    rng = np.random.default_rng(3)
+    W = K = 32
+    M = 64
+    T = rng.standard_normal((W, K)) + 1j * rng.standard_normal((W, K))
+    X = 500 * (rng.standard_normal((K, M)) + 1j * rng.standard_normal((K, M)))
+    mm = fp.ExactComplexMatmul(T)
+    yr, yi = mm(jnp.asarray(X.real), jnp.asarray(X.imag))
+    ref = T @ X
+    err = np.hypot(np.asarray(yr) - ref.real, np.asarray(yi) - ref.imag).max()
+    assert err / np.abs(ref).max() < 1e-8
+    # words-chained link also renormalizes to the narrower budget exactly
+    wr, wi, e = mm.call_words(jnp.asarray(X.real), jnp.asarray(X.imag))
+    w2r, _, e2 = mm.call_words_w(wr, wi, e)
+    y2 = fp.ExactComplexMatmul.words_to_f64(w2r, e2)
+    ref2 = T @ ref
+    assert (np.abs(np.asarray(y2) - ref2.real).max()
+            / np.abs(ref2).max()) < 1e-8

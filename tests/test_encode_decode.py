@@ -157,3 +157,34 @@ def test_words_chained_encode_decode_loopback(monkeypatch):
     dd = np.hypot(np.asarray(dr) - np.asarray(d3r),
                   np.asarray(di) - np.asarray(d3i)).max()
     assert dd < tol, dd
+
+
+def test_quantize_words_contract_guard():
+    """ADVICE r3: a message beyond the encode contract (e_scale <=
+    delta_bits) must fail loudly host-side; under a trace it must ZERO the
+    residues (poisoned-but-unmistakable) instead of silently mis-scaling —
+    and the traced guard must stay jax.export-compatible, so it is
+    arithmetic, not a debug callback (see encoder.quantize_words)."""
+    import jax
+    import pytest
+
+    p = get_params("tiny")
+    enc = Encoder(p)
+    assert enc.delta_bits is not None
+    shp = (2, 8)
+    words = tuple(jnp.ones(shp, jnp.uint32) for _ in range(3)) + (
+        jnp.zeros(shp, jnp.uint32),)
+    bad_e = jnp.int32(enc.delta_bits)          # diff == 0: violation
+
+    with pytest.raises(ValueError, match="encode contract"):
+        enc.quantize_words(words, words, bad_e)
+
+    jit_q = jax.jit(enc.quantize_words)
+    (rl, rh), (il, ih) = jit_q(words, words, bad_e)
+    for a in (rl, rh, il, ih):
+        assert not np.asarray(a).any()         # poisoned to zero
+
+    # a compliant e_scale keeps real residues through the same jit
+    good_e = jnp.int32(enc.delta_bits + 8)
+    (rl, rh), _ = jit_q(words, words, good_e)
+    assert np.asarray(rl).any()

@@ -296,3 +296,30 @@ def test_sliced_kara_b_variant_bit_exact(setup, rng, monkeypatch):
                                   np.asarray(kb.inverse(want)))
     np.testing.assert_array_equal(np.asarray(xj),
                                   np.asarray(kb.inverse(want)))
+
+
+@pytest.mark.parametrize("bits", [35, 45])
+def test_sliced_mul_ntt_kara_b_bit_exact(rng, monkeypatch, bits):
+    """MFHE_SLICED_KARA_B=1 on the fused iNTT(NTT(a)*s) kernel: canonical
+    s-product + Karatsuba convolution inverse stage == the lazy default,
+    bit-exact, at both digit-grid widths (5 -> _Karatsuba5, 7 ->
+    _Karatsuba7)."""
+    q = int(generate_primes_1mod(1, bits, 1 << 8)[0])
+    L, W, K, rep = 2, 32, 32, 2
+    mods = [q, q]
+    fwd = rng.integers(0, q, (L, W, K), dtype=np.uint64)
+    inv = rng.integers(0, q, (L, W, K), dtype=np.uint64)
+    s = rng.integers(0, q, (L, W, K), dtype=np.uint64)
+    smont = (s.astype(object) * ((1 << 64) % q) % q).astype(np.uint64)
+    d = rng.integers(0, q, (L, W * rep, K), dtype=np.uint64)
+    base = pn.SlicedNttMulNtt(fwd, inv, mods, rep=rep)
+    monkeypatch.setenv("MFHE_SLICED_KARA_B", "1")
+    kb = pn.SlicedNttMulNtt(fwd, inv, mods, rep=rep)
+    assert kb._kb is not None
+    expected = {35: 5, 45: 7}[bits]
+    assert kb._kb[0].chunks == expected
+    dl, dh = pn.split_u64(jnp.asarray(d))
+    sl, sh = pn.split_u64(jnp.asarray(smont))
+    w0 = pn.join_u64(*base(dl, dh, sl, sh))
+    w1 = pn.join_u64(*kb(dl, dh, sl, sh))
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
