@@ -159,6 +159,7 @@ def main():
     ntts_per_sec = measure(fwd, inv, ITERS, impl)
     variants = {impl: round(ntts_per_sec, 1)}
     best_tag = impl
+    variant_envs = {}
 
     def _record():  # keep the SIGTERM partial line current
         results.update(value=round(ntts_per_sec, 1), unit="NTT/s",
@@ -177,18 +178,20 @@ def main():
         # cannot mislabel a measurement (review r3)
         _off = {"MFHE_SLICED_DMA": "0", "MFHE_SLICED_CTW": "0",
                 "MFHE_SLICED_KARA_B": "0"}
-        for tag, env in (("sliced+dma", {**_off, "MFHE_SLICED_DMA": "1"}),
-                         ("sliced+ctw", {**_off, "MFHE_SLICED_CTW": "1"}),
-                         ("sliced+ctw+dma", {**_off, "MFHE_SLICED_CTW": "1",
-                                             "MFHE_SLICED_DMA": "1"}),
-                         # mixed schedule: sliced stage A + Karatsuba
-                         # convolution stage B (the projected-best form if
-                         # Mosaic co-issues MXU/VPU — docs/PERF.md round 3)
-                         ("sliced+karaB", {**_off,
-                                           "MFHE_SLICED_KARA_B": "1"}),
-                         ("sliced+karaB+dma", {**_off,
-                                               "MFHE_SLICED_KARA_B": "1",
-                                               "MFHE_SLICED_DMA": "1"})):
+        variant_envs.update({
+            "sliced": dict(_off),
+            "sliced+dma": {**_off, "MFHE_SLICED_DMA": "1"},
+            "sliced+ctw": {**_off, "MFHE_SLICED_CTW": "1"},
+            "sliced+ctw+dma": {**_off, "MFHE_SLICED_CTW": "1",
+                               "MFHE_SLICED_DMA": "1"},
+            # mixed schedule: sliced stage A + Karatsuba convolution
+            # stage B (the projected-best form if Mosaic co-issues
+            # MXU/VPU — docs/PERF.md round 3)
+            "sliced+karaB": {**_off, "MFHE_SLICED_KARA_B": "1"},
+            "sliced+karaB+dma": {**_off, "MFHE_SLICED_KARA_B": "1",
+                                 "MFHE_SLICED_DMA": "1"},
+        })
+        for tag, env in list(variant_envs.items())[1:]:
             saved = {k: os.environ.get(k) for k in env}
             os.environ.update(env)
             try:
@@ -223,7 +226,18 @@ def main():
         try:
             primes28 = generate_primes_1mod(L, 28, 2 * N)
             plan28 = FourStepPlan.make(N, primes28)
+            # run the 28-bit row under the schedule that won the 35-bit
+            # sweep (same kernel machinery; at 28-bit karaB uses the
+            # _Karatsuba4 10-dot grid)
+            env28 = variant_envs.get(best_tag, {})
+            saved28 = {k: os.environ.get(k) for k in env28}
+            os.environ.update(env28)
             n28 = SlicedFourStepNTT(plan28)
+            for k, old in saved28.items():
+                if old is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = old
             x28 = np.stack([rng.integers(0, q, size=(B, N), dtype=np.uint64)
                             for q in primes28])
             lo28, hi28 = split_u64(jnp.asarray(x28))

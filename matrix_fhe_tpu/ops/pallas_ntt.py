@@ -243,6 +243,39 @@ class _Schoolbook:
         return out
 
 
+class _Karatsuba4:
+    """4-digit product in 10 dots (vs 16 schoolbook): split 2+2,
+    subtractive Karatsuba on both halves, schoolbook on the (A0-A1)
+    2-digit middle (whose digit range [-127,127] admits no further
+    splitting in int8 — same constraint as _Karatsuba5's middle).  The
+    28-bit-modulus grid (ceil(28/7) = 4 digits a side); algebra
+    brute-force-verified over the full signed digit range."""
+
+    chunks = 4
+    n_dots = 10
+    signed = True
+
+    def __init__(self):
+        self.combos = _ident(4) + [
+            _vec(4, d0=1, d1=-1),            # 4: mA
+            _vec(4, d2=1, d3=-1),            # 5: mB
+            _vec(4, d0=1, d2=-1),            # 6: u0
+            _vec(4, d1=1, d3=-1),            # 7: u1
+        ]
+
+    def diagonals(self, dp, dot):
+        p00, p11 = dot(dp[0], 0), dot(dp[1], 1)
+        p22, p33 = dot(dp[2], 2), dot(dp[3], 3)
+        mA, mB = dot(dp[4], 4), dot(dp[5], 5)
+        pm = [[dot(dp[6 + i], 6 + j) for j in range(2)] for i in range(2)]
+        P0 = [p00, p00 + p11 - mA, p11]
+        P2 = [p22, p22 + p33 - mB, p33]
+        Pm = [pm[0][0], pm[0][1] + pm[1][0], pm[1][1]]
+        M = [P0[i] + P2[i] - Pm[i] for i in range(3)]
+        return [P0[0], P0[1], P0[2] + M[0], M[1], M[2] + P2[0],
+                P2[1], P2[2]]
+
+
 class _Karatsuba5:
     """5-digit product in 18 dots: split 2+3, subtractive Karatsuba on both
     halves, schoolbook on the (A0-A1) middle (whose digit range [-127,127]
@@ -670,7 +703,9 @@ def _plan_scheme(K: int, bits: int):
     # ~len(combos) * K * tile * 4 bytes of scoped VMEM; at K = 512 that
     # blows the 16 MB budget, so it is gated to K <= 256 contractions.
     no_kara = os.environ.get("MFHE_NO_KARATSUBA", "") == "1" or K > 256
-    if chunks == 5 and not no_kara:
+    if chunks == 4 and not no_kara:
+        scheme = _Karatsuba4()
+    elif chunks == 5 and not no_kara:
         scheme = _Karatsuba5()
     elif chunks == 7 and not no_kara:
         scheme = _Karatsuba7()

@@ -323,3 +323,34 @@ def test_sliced_mul_ntt_kara_b_bit_exact(rng, monkeypatch, bits):
     w0 = pn.join_u64(*base(dl, dh, sl, sh))
     w1 = pn.join_u64(*kb(dl, dh, sl, sh))
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
+
+def test_karatsuba4_scheme_28bit(rng, monkeypatch):
+    """_Karatsuba4 (10 dots for the 4-digit/28-bit grid, vs 16 schoolbook):
+    exact in the round-1 convolution stage AND as the kara_b mixed stage
+    of the four-step kernel."""
+    sch = pn._plan_scheme(256, 28)[0]
+    assert type(sch).__name__ == "_Karatsuba4" and sch.n_dots == 10
+
+    primes = generate_primes_1mod(2, 28, 1 << 11)
+    plan = FourStepPlan.make(1 << 10, primes)
+    x = np.stack([rng.integers(0, q, size=(2, plan.n), dtype=np.uint64)
+                  for q in primes])
+    xj = jnp.asarray(x)
+    base = pn.SlicedFourStepNTT(plan)
+    monkeypatch.setenv("MFHE_SLICED_KARA_B", "1")
+    kb = pn.SlicedFourStepNTT(plan)
+    assert kb._kb[0].chunks == 4
+    want = base.forward(xj)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(kb.forward(xj)))
+    np.testing.assert_array_equal(x, np.asarray(kb.inverse(want)))
+
+    # round-1 convolution stage vs exact bigint oracle
+    q = int(primes[0])
+    T = rng.integers(0, q, (1, 64, 64), dtype=np.uint64)
+    d = rng.integers(0, q, (1, 128, 64), dtype=np.uint64)
+    st = pn.PallasStage(T, [q], side="right")
+    assert type(st.scheme).__name__ == "_Karatsuba4"
+    got = np.asarray(pn.join_u64(*st(*pn.split_u64(jnp.asarray(d)))))
+    want = (d[0].astype(object) @ T[0].astype(object).T % q).astype(np.uint64)
+    np.testing.assert_array_equal(got[0], want)
