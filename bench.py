@@ -191,7 +191,17 @@ def main():
             "sliced+karaB+dma": {**_off, "MFHE_SLICED_KARA_B": "1",
                                  "MFHE_SLICED_DMA": "1"},
         })
+        # time-budget the sweep: 6 variants x 2 cold Mosaic compiles through
+        # the remote-AOT tunnel can threaten the driver's watchdog window on
+        # a cold cache (VERDICT r3 Weak #5); the best-so-far is always
+        # recorded, so truncating the sweep only loses untried variants
+        var_budget = float(os.environ.get("BENCH_VARIANT_BUDGET_S", "420"))
+        var_t0 = time.time()
         for tag, env in list(variant_envs.items())[1:]:
+            if time.time() - var_t0 > var_budget:
+                sys.stderr.write(f"[bench] variant budget ({var_budget:.0f}s)"
+                                 f" exhausted; skipping {tag} onward\n")
+                break
             saved = {k: os.environ.get(k) for k in env}
             os.environ.update(env)
             try:
