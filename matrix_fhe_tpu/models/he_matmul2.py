@@ -51,6 +51,12 @@ from .keyswitch import RelinContext
 U64 = jnp.uint64
 
 
+@functools.lru_cache(maxsize=None)
+def _sliced_gemm2x2_cached(run_mod, y: int, m: int, scale: int):
+    from ..ops.pallas_cgemm import SlicedGemm2x2
+    return SlicedGemm2x2(run_mod, y, m, scale=scale)
+
+
 class GemmTensor2(NamedTuple):
     """2D tensor-ring components [L, W, 2n, 2n] (W-eval, X1/X2-coeff);
     keys (1, 1(x)s, ss(x)1, ss(x)s)."""
@@ -176,17 +182,47 @@ class HEMatmul2:
 
     # -- the tensor op -------------------------------------------------------
 
+    @staticmethod
+    def _use_sliced_gemm2() -> bool:
+        import os
+
+        env = os.environ.get("MFHE_GEMM2", "")
+        if env in ("sliced", "xla"):
+            return env == "sliced"
+        from ..ops._backend import tpu_kernels_default
+        return tpu_kernels_default()
+
+    def _gemm2x2(self, u1, u2, v1, v2):
+        """The four tensor products e_ij = n * U_i^T @ V_j mod q.
+
+        TPU path: ONE fused Mosaic kernel per limb run (int8 MXU digit
+        dots, ops/pallas_cgemm.SlicedGemm2x2) sharing the digit
+        extraction of U and the pre-reduced tables of V across all four
+        products.  The XLA chunked-einsum path (_mod_gemm) stays as the
+        exact oracle (MFHE_GEMM2=xla) — its u64 multiplies run on
+        emulated-u64 VPU lanes, far off the MXU roof at ref scale."""
+        if not self._use_sliced_gemm2():
+            return (self._mod_gemm(u1, v1), self._mod_gemm(u1, v2),
+                    self._mod_gemm(u2, v1), self._mod_gemm(u2, v2))
+        from ..ops.modmatmul import limb_runs
+        p = self.ctx.params
+        outs = [[], [], [], []]
+        for lo, hi, _ in limb_runs(p.moduli):
+            g = _sliced_gemm2x2_cached(tuple(int(q) for q in p.moduli[lo:hi]),
+                                       self.n, self.m, int(p.n))
+            es = g(u1[lo:hi], u2[lo:hi], v1[lo:hi], v2[lo:hi])
+            for acc, e in zip(outs, es):
+                acc.append(e)
+        return tuple(part[0] if len(part) == 1 else jnp.concatenate(part)
+                     for part in outs)
+
     def tensor_fn(self, ctX: Ciphertext2, ctY: Ciphertext2) -> GemmTensor2:
         sy_b = self._ry_map(self._sigma(ctY.b))
         sy_a = self._ry_map(self._sigma(ctY.a))
         x_b = self._tw(ctX.b)
         x_a = self._tw(ctX.a)
-        return GemmTensor2(
-            e00=self._mod_gemm(sy_b, x_b),
-            e01=self._mod_gemm(sy_b, x_a),
-            e10=self._mod_gemm(sy_a, x_b),
-            e11=self._mod_gemm(sy_a, x_a),
-        )
+        e00, e01, e10, e11 = self._gemm2x2(sy_b, sy_a, x_b, x_a)
+        return GemmTensor2(e00=e00, e01=e01, e10=e10, e11=e11)
 
     # -- secret-side identities (tests / debugging) --------------------------
 

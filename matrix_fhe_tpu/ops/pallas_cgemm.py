@@ -261,3 +261,153 @@ class SlicedCGemm:
                                       brl, brh, bil, bih,
                                       self._sc, self._cj)
         return join_u64(crl, crh), join_u64(cil, cih)
+
+
+def _gemm2x2_kernel(u1l_ref, u1h_ref, u2l_ref, u2h_ref,
+                    v1l_ref, v1h_ref, v2l_ref, v2h_ref,
+                    sc_ref, cj_ref,
+                    e00l_ref, e00h_ref, e01l_ref, e01h_ref,
+                    e10l_ref, e10h_ref, e11l_ref, e11h_ref,
+                    *, wb: int, y: int, m: int, chunks_d: int,
+                    chunks_t: int, bits: int):
+    """All four products of the 2x2 GEMM tensor
+    E_ij[a, b] = scale * sum_y U_i[y, a] * V_j[y, b] mod q
+    in ONE merged MXU dot per lane: rows = [U1 | U2] digit planes
+    (concat along columns), columns = every (digit plane c) x (V1 | V2)
+    pre-reduced table slice — the gl2 GEMM tensor op (he_matmul2.tensor_fn,
+    batched_trace.cu:99-158 analog on the doubled ring)."""
+    ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
+    qil, qih = sc_ref[0, 0, 2], sc_ref[0, 0, 4]
+    qi28 = sc_ref[0, 0, 3]
+
+    def bcat(bl, bh):
+        # V pre-reduced per data digit j (montmul by scale*2^(28+7j)),
+        # split into table digit planes, concat along the contraction axis
+        pieces = [[] for _ in range(chunks_t)]
+        for j in range(chunks_d):
+            cl = cj_ref[0, 0, 2 * j]
+            ch = cj_ref[0, 0, 2 * j + 1]
+            tjh, tjl = _montmul48(bh, bl, ch, cl, qh, ql, qih, qil)
+            for c in range(chunks_t):
+                s = CHUNK_BITS * c
+                if s + CHUNK_BITS <= 32:
+                    d = ((tjl >> np.uint32(s)) & np.uint32(127)
+                         ) if s else (tjl & np.uint32(127))
+                elif s >= 32:
+                    d = (tjh >> np.uint32(s - 32)) & np.uint32(127)
+                else:
+                    d = ((tjl >> np.uint32(s))
+                         | (tjh << np.uint32(32 - s))) & np.uint32(127)
+                pieces[c].append(d.astype(jnp.int8))
+        return [jnp.concatenate(p, axis=0) for p in pieces]
+
+    d00 = [[] for _ in range(chunks_t)]
+    d01 = [[] for _ in range(chunks_t)]
+    d10 = [[] for _ in range(chunks_t)]
+    d11 = [[] for _ in range(chunks_t)]
+    for w in range(wb):
+        a1 = _data_digits(u1l_ref[0, w], u1h_ref[0, w], chunks_d, 0)
+        a2 = _data_digits(u2l_ref[0, w], u2h_ref[0, w], chunks_d, 0)
+        lhs = jnp.concatenate([a1, a2], axis=1)        # [cd*y, 2m]
+        tb1 = bcat(v1l_ref[0, w], v1h_ref[0, w])
+        tb2 = bcat(v2l_ref[0, w], v2h_ref[0, w])
+        rhs = jnp.concatenate(tb1 + tb2, axis=1)       # [cd*y, 2*ct*m]
+        res = jax.lax.dot_general(lhs, rhs, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        for c in range(chunks_t):
+            d00[c].append(res[:m, c * m:(c + 1) * m])
+            d01[c].append(res[:m, (chunks_t + c) * m:(chunks_t + c + 1) * m])
+            d10[c].append(res[m:, c * m:(c + 1) * m])
+            d11[c].append(res[m:, (chunks_t + c) * m:(chunks_t + c + 1) * m])
+
+    bound = chunks_d * y * 127 * 127
+    for dlists, (ol_ref, oh_ref) in zip(
+            (d00, d01, d10, d11),
+            ((e00l_ref, e00h_ref), (e01l_ref, e01h_ref),
+             (e10l_ref, e10h_ref), (e11l_ref, e11h_ref))):
+        diags = [d[0] if wb == 1 else jnp.concatenate(d, axis=0)
+                 for d in dlists]
+        rh, rl = _fold_redc28(diags, qh, ql, qi28, diag_bound=bound,
+                              bits=bits)
+        ol_ref[0] = rl.reshape(wb, m, m)
+        oh_ref[0] = rh.reshape(wb, m, m)
+
+
+class SlicedGemm2x2:
+    """E_ij = scale * U_i^T @ V_j (i, j in {1, 2}; real, modular,
+    contraction over the SECOND-TO-LAST axis of both) for [L, W, y, m] u64
+    operands over one equal-chunk-count limb run — the gl2 ciphertext
+    GEMM's four tensor components in one fused Mosaic kernel (the
+    XLA-composed u64 chunk einsum it replaces runs the multiply on
+    emulated-u64 VPU lanes, far off the int8 MXU roof).
+
+    Multi-chip note: like every pallas_call, this custom call is not
+    auto-partitionable under NamedSharding jit — shard the (L, W) grid
+    axes via shard_map, or use the XLA oracle path (MFHE_GEMM2=xla) for
+    sharded graphs (the virtual-mesh dryrun does the latter
+    automatically: the kernel gate is off on the CPU backend)."""
+
+    def __init__(self, moduli, y: int, m: int, scale: int = 1, wb: int = 4):
+        self.moduli = tuple(int(q) for q in moduli)
+        self.y, self.m = y, m
+        self.bits = max(q.bit_length() for q in self.moduli)
+        assert self.bits < 48
+        self.chunks_d = -(-self.bits // CHUNK_BITS)
+        self.chunks_t = self.chunks_d
+        self.wb = wb
+        L = len(self.moduli)
+        cj = np.zeros((L, 1, 2 * self.chunks_d), dtype=np.uint32)
+        for l, q in enumerate(self.moduli):
+            for j in range(self.chunks_d):
+                c = (scale % q) * pow(2, 28 + CHUNK_BITS * j + 64, q) % q
+                cj[l, 0, 2 * j] = c & 0xFFFFFFFF
+                cj[l, 0, 2 * j + 1] = c >> 32
+        self._cj = jnp.asarray(cj)
+        sc = np.empty((L, 1, 5), dtype=np.uint32)
+        for l, q in enumerate(self.moduli):
+            mc = MontConsts.make(q)
+            sc[l] = (q & 0xFFFFFFFF, q >> 32,
+                     mc.qinv_neg & 0xFFFFFFFF, mc.qinv_neg & 0x0FFFFFFF,
+                     mc.qinv_neg >> 32)
+        self._sc = jnp.asarray(sc)
+
+    @functools.lru_cache(maxsize=4)
+    def _call(self, W: int, wb: int):
+        L, y, m = len(self.moduli), self.y, self.m
+        kern = functools.partial(
+            _gemm2x2_kernel, wb=wb, y=y, m=m, chunks_d=self.chunks_d,
+            chunks_t=self.chunks_t, bits=self.bits)
+        in_spec = pl.BlockSpec((1, wb, y, m), lambda l, w: (l, w, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, wb, m, m), lambda l, w: (l, w, 0, 0),
+                                memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, 1, 5), lambda l, w: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        cj_spec = pl.BlockSpec((1, 1, 2 * self.chunks_d),
+                               lambda l, w: (l, 0, 0),
+                               memory_space=pltpu.SMEM)
+        sh = jax.ShapeDtypeStruct((L, W, m, m), jnp.uint32)
+        return pl.pallas_call(
+            kern,
+            grid=(L, W // wb),
+            in_specs=[in_spec] * 8 + [sc_spec, cj_spec],
+            out_specs=(out_spec,) * 8,
+            out_shape=(sh,) * 8,
+            interpret=_backend.pallas_interpret_default(),
+            compiler_params=_sliced_params(2),
+        )
+
+    def __call__(self, u1, u2, v1, v2):
+        """u64 [L, W, y, m] operands -> (e00, e01, e10, e11) u64
+        [L, W, m, m] with e_ij = scale * U_i^T @ V_j mod q."""
+        W = u1.shape[1]
+        wb = self.wb
+        while W % wb:
+            wb //= 2
+        pairs = [split_u64(t) for t in (u1, u2, v1, v2)]
+        flat = [p for pair in pairs for p in pair]
+        call = self._call(W, wb)
+        with jax.enable_x64(False):
+            outs = call(*flat, self._sc, self._cj)
+        return tuple(join_u64(outs[2 * i], outs[2 * i + 1])
+                     for i in range(4))

@@ -183,3 +183,17 @@ def test_gl2_x_slot_rotation_and_conjugation(setup):
     dr, di = ctx.decrypt_and_decode(ct_c, sk)
     err = np.hypot(np.asarray(dr) - X.real, np.asarray(di) + X.imag).max()
     assert err < 0.5
+
+
+def test_sliced_gemm2x2_matches_xla_tensor(setup, monkeypatch):
+    """The fused Mosaic 2x2 GEMM tensor kernel (MFHE_GEMM2=sliced,
+    ops/pallas_cgemm.SlicedGemm2x2) == the XLA chunked-einsum oracle,
+    bit-exact on every component, including across mixed-width limb
+    runs."""
+    p, ctx, hm, X, Y, C, mX, mY, sk, ctX, ctY = setup
+    monkeypatch.setenv("MFHE_GEMM2", "xla")
+    want = hm.tensor_fn(ctX, ctY)
+    monkeypatch.setenv("MFHE_GEMM2", "sliced")
+    got = hm.tensor_fn(ctX, ctY)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
