@@ -327,43 +327,68 @@ class Gl2GemmRelin:
 
     # -- key generation ------------------------------------------------------
 
+    @functools.cached_property
+    def _gen_key_digit_jit(self):
+        """One (target, digit) switch-key pair, fully jitted.
+
+        The [Lqp, W, m, m] grid planes (0.5 GB at mid, 1.7 GB at ref/auto-P
+        — per array) live only INSIDE the program, where XLA schedules and
+        reuses their buffers; the round-4 on-chip run showed the previous
+        eager form holding ~9 such temporaries live in Python and
+        exhausting HBM at mid scale."""
+        rc = self.rc
+        from . import rng as refrng
+
+        @functools.partial(jax.jit, static_argnames=("which",))
+        def step(ka, ke, s_hat, ss_hat, g_const, *, which: int):
+            cqp = rc._cqp
+            q, qi, r2 = cqp["q"], cqp["qinv_neg"], cqp["r2"]
+            W, m = s_hat.shape[1], s_hat.shape[2]
+            Lqp = s_hat.shape[0]
+            frame = (W, m, m)
+            a = refrng.fresh_uniform_a(ka, rc.ext_params, shape=frame)
+            e = refrng.fresh_gaussian_noise(ke, rc.ext_params, shape=frame)
+            a_hat = self._ntt2d(a, rc.xntt_qp)
+            e_hat = self._ntt2d(rc.wt_qp.forward(e), rc.xntt_qp)
+            a_mont = mm.to_mont(a_hat, q, qi, r2)
+            a_s = mm.mont_mul(a_mont, s_hat[:, :, None, :], q, qi)
+            g_mont = mm.to_mont(g_const.reshape(-1, 1, 1, 1), q, qi, r2)
+            if which == 1:
+                # g * (sigma(s) (x) 1): broadcast along x2 stays fused
+                gt = mm.mont_mul(g_mont, ss_hat[:, :, :, None], q, qi)
+            else:
+                # g * (sigma(s) (x) s)
+                ss_mont = mm.to_mont(ss_hat, q[..., 0], qi[..., 0],
+                                     r2[..., 0])
+                t2 = mm.mont_mul(ss_mont[:, :, :, None],
+                                 jnp.broadcast_to(s_hat[:, :, None, :],
+                                                  (Lqp, W, m, m)),
+                                 q, qi)
+                gt = mm.mont_mul(g_mont, t2, q, qi)
+            b = mm.add_mod(mm.sub_mod(e_hat, a_s, q), gt, q)
+            return mm.to_mont(b, q, qi, r2), a_mont
+
+        return step
+
     def gen_keys(self, sk: SecretKey2, key: jax.Array) -> GemmRelinKey:
         rc = self.rc
-        cqp = rc._cqp
-        q, qi, r2 = cqp["q"], cqp["qinv_neg"], cqp["r2"]
         # s and sigma(s) lifted over QP in (W-eval, X-NTT)
         s_res = Gl2Context._ternary_residues(sk.s_sign,
                                              self.ctx.params.moduli)
         s_hat = rc._lift_ternary(s_res)                     # [Lqp, W, 2n]
         ss_hat = jnp.take(s_hat, self.hm._flip, axis=1)[:, :, ::-1]
-        ss_mont = mm.to_mont(ss_hat, q[..., 0], qi[..., 0], r2[..., 0])
-        # NTT-domain targets on the [x1, x2] grid
-        W, m = s_hat.shape[1], s_hat.shape[2]
-        Lqp = s_hat.shape[0]
-        t1 = jnp.broadcast_to(ss_hat[:, :, :, None], (Lqp, W, m, m))
-        t2 = mm.mont_mul(ss_mont[:, :, :, None],
-                         jnp.broadcast_to(s_hat[:, :, None, :],
-                                          (Lqp, W, m, m)),
-                         q, qi)
-        from . import rng as refrng
-        frame = (W, m, m)
         outs = {"b1": [], "a1": [], "b2": [], "a2": []}
-        for target, bk, ak in ((t1, "b1", "a1"), (t2, "b2", "a2")):
+        for which, bk, ak in ((1, "b1", "a1"), (2, "b2", "a2")):
             for i in range(rc.dnum):
                 key, ka, ke = jax.random.split(key, 3)
-                a = refrng.fresh_uniform_a(ka, rc.ext_params, shape=frame)
-                e = refrng.fresh_gaussian_noise(ke, rc.ext_params,
-                                                shape=frame)
-                a_hat = self._ntt2d(a, rc.xntt_qp)
-                e_hat = self._ntt2d(rc.wt_qp.forward(e), rc.xntt_qp)
-                a_mont = mm.to_mont(a_hat, q, qi, r2)
-                a_s = mm.mont_mul(a_mont, s_hat[:, :, None, :], q, qi)
-                g = jnp.asarray(rc._g_consts[i].reshape(-1, 1, 1, 1))
-                g_mont = mm.to_mont(g, q, qi, r2)
-                gt = mm.mont_mul(g_mont, target, q, qi)
-                b = mm.add_mod(mm.sub_mod(e_hat, a_s, q), gt, q)
-                outs[bk].append(mm.to_mont(b, q, qi, r2))
-                outs[ak].append(a_mont)
+                g = jnp.asarray(rc._g_consts[i])
+                b, a = self._gen_key_digit_jit(ka, ke, s_hat, ss_hat, g,
+                                               which=which)
+                # fence each digit so at most one program's working set is
+                # in flight on top of the accumulated keys
+                jax.block_until_ready(a)
+                outs[bk].append(b)
+                outs[ak].append(a)
         return GemmRelinKey(b1=tuple(outs["b1"]), a1=tuple(outs["a1"]),
                             b2=tuple(outs["b2"]), a2=tuple(outs["a2"]))
 

@@ -271,6 +271,12 @@ class ExactComplexMatmul:
             out_specs=(out,) * 8,
             out_shape=tuple(jax.ShapeDtypeStruct((1, W, M), jnp.uint32)
                             for _ in range(8)),
+            # At W=K=512 the double-buffered blocks + 2x9 diagonal i32
+            # planes need ~22 MB of scoped VMEM — over Mosaic's 16 MB
+            # default but far under the chip's 128 MB (measured on-chip
+            # round 4: the default limit rejects the ref-geometry kernel).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20),
             interpret=_backend.pallas_interpret_default(),
         )
 

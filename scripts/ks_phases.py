@@ -13,8 +13,11 @@ Usage: python scripts/ks_phases.py [preset] [iters]
 Prints per-phase ms plus the fused multiply_relinearize steady state.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -62,7 +65,6 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     p = get_params(preset)
     ctx = HEContext(p, ring="nega")
-    import os
     rc = RelinContext(ctx, p_moduli="auto"
                       if os.environ.get("MFHE_AUTO_P") == "1" else None)
     print(f"[ks] P basis: {[int(q).bit_length() for q in rc.p_moduli]} dnum={rc.dnum}")

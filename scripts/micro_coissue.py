@@ -144,8 +144,17 @@ def main():
 
     mxu, vpu, both = results["mxu"], results["vpu"], results["both"]
     base = results["dma"]
+    # the dma-only cell sometimes measures pathologically slow on the
+    # tunnel (r4: 60 ms/cell vs 28 us for mxu) — an empty kernel body
+    # denies Mosaic's pipeliner anything to hide the block DMA under, so
+    # it is NOT a valid fixed-cost baseline; fall back to base=0 when it
+    # exceeds the compute cells (fraction then *understates* overlap)
+    if base > min(mxu, vpu):
+        print(f"\n[dma cell {base:.0f} us/cell > compute cells -- "
+              "ignoring it as a baseline]")
+        base = 0.0
     overlap = (mxu + vpu - base - both) / max(min(mxu, vpu) - base, 1e-9)
-    print(f"\nco-issue fraction (1 = perfect overlap, 0 = serial): "
+    print(f"co-issue fraction (1 = perfect overlap, 0 = serial): "
           f"{overlap:.2f}")
     print(f"dots per rep: {N*K*N*2/1e9:.3f} Gop; "
           f"mxu rate ~= {args.reps*N*K*N*2/(mxu-base)/1e6:.0f} Top/s" if
