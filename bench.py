@@ -160,11 +160,18 @@ def main():
     variants = {impl: round(ntts_per_sec, 1)}
     best_tag = impl
     variant_envs = {}
+    # sweep-truncation visibility (VERDICT r4 Weak #7): a cold-cache run
+    # that exhausts the variant budget must be distinguishable in the
+    # artifact from a complete sweep
+    variants_skipped = []
+    budget_exhausted = False
 
     def _record():  # keep the SIGTERM partial line current
         results.update(value=round(ntts_per_sec, 1), unit="NTT/s",
                        vs_baseline=round(ntts_per_sec / 1_000_000.0, 6),
-                       ntt_variant=best_tag, ntt_variants=variants)
+                       ntt_variant=best_tag, ntt_variants=variants,
+                       variants_skipped=variants_skipped,
+                       budget_exhausted=budget_exhausted)
 
     _record()
 
@@ -197,8 +204,12 @@ def main():
         # recorded, so truncating the sweep only loses untried variants
         var_budget = float(os.environ.get("BENCH_VARIANT_BUDGET_S", "420"))
         var_t0 = time.time()
-        for tag, env in list(variant_envs.items())[1:]:
+        pending = list(variant_envs.items())[1:]
+        for i, (tag, env) in enumerate(pending):
             if time.time() - var_t0 > var_budget:
+                budget_exhausted = True
+                variants_skipped.extend(t for t, _ in pending[i:])
+                _record()
                 sys.stderr.write(f"[bench] variant budget ({var_budget:.0f}s)"
                                  f" exhausted; skipping {tag} onward\n")
                 break
@@ -312,6 +323,8 @@ def main():
         "vs_baseline": round(ntts_per_sec / 1_000_000.0, 6),
         "ntt_variant": best_tag,
         "ntt_variants": variants,
+        "variants_skipped": variants_skipped,
+        "budget_exhausted": budget_exhausted,
         **extra,
     }))
 

@@ -8,6 +8,9 @@ set -x
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=.cache/xla
 export BENCH_AUTOVAR=0 BENCH_28BIT=0 MFHE_BENCH_REF=0 BENCH_ITERS=20
+# ambient variant knobs would silently swap (DMA) or abort (CTW/KARA_B)
+# the kernel each row claims to measure
+unset MFHE_SLICED_DMA MFHE_SLICED_CTW MFHE_SLICED_KARA_B MFHE_SLICED_ALIAS MFHE_SLICED_SEMANTICS MFHE_SLICED_ILV MFHE_SLICED_BB MFHE_SLICED_ABLATE
 
 echo "=== ILV rows (interleaved software pipeline, bb tiles/cell)"
 for bb in 2 4; do

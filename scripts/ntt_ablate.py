@@ -30,6 +30,15 @@ LABEL = {"io": "io (copy through the grid)",
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    # Pin every sliced-kernel knob before any SlicedFourStepNTT exists:
+    # ambient MFHE_SLICED_DMA would silently swap in _sliced_dma_kernel
+    # (which ignores MFHE_SLICED_ABLATE, so all rows would time the full
+    # kernel), and ambient CTW/KARA_B aborts on the ABLATE ValueError.
+    for knob in ("MFHE_SLICED_DMA", "MFHE_SLICED_CTW", "MFHE_SLICED_KARA_B",
+                 "MFHE_SLICED_ILV", "MFHE_SLICED_ALIAS",
+                 "MFHE_SLICED_SEMANTICS"):
+        os.environ.pop(knob, None)
+    os.environ["MFHE_SLICED_BB"] = os.environ.get("NTT_ABLATE_BB", "1")
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -70,7 +79,11 @@ def main():
         print(f"{LABEL[ab]:42s} {us:7.2f} us/NTT  (+{delta:5.2f})",
               flush=True)
         # each ablation retraces/rejits a fresh kernel; drop the jit cache
+        # AND the class-level lru_cache, which otherwise keeps every
+        # instance's sliced twiddle tables resident in HBM for the run
         fwd.clear_cache()
+        pn.SlicedFourStepNTT._fused_call.cache_clear()
+        del ntt
 
     # exactness fence on the FULL kernel only
     ntt = pn.SlicedFourStepNTT(plan)
