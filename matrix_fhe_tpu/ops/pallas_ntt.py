@@ -1352,7 +1352,8 @@ def _tw_mul_lazy(vh, vl, twsl, twsh, qh, ql, qi32):
 def _sliced_tile(lo, hi, tA, tB, twl, twh, ql, qh, qi32, qi28, *,
                  chunks_d: int, chunks_t: int, chunks_mid: int,
                  sides: Tuple[str, str], k: int, bits: int,
-                 qih=None, ctw: bool = False, kara_b=None):
+                 qih=None, ctw: bool = False, kara_b=None,
+                 lazy_a: bool = False):
     """Both four-step stages + inter-stage twiddle on one [n1, n2] tile
     (arrays in, arrays out — shared by the grid-pipelined and the
     explicit-DMA kernels).  tA/tB are accessors chunk-index -> plane.
@@ -1373,12 +1374,21 @@ def _sliced_tile(lo, hi, tA, tB, twl, twh, ql, qh, qi32, qi28, *,
     best variant if Mosaic co-issues MXU/VPU (~263k NTT/s at 35-bit),
     strictly worse on a serial machine — a measurement candidate, not a
     default.  kara_b is a (scheme, bias_bits, neg_c_words, pair_pack)
-    tuple from _plan_scheme."""
+    tuple from _plan_scheme.
+
+    lazy_a (round 5): leave the stage-A fold un-canonicalized (< 2q) and
+    let the lazy twiddle absorb it (its output bound grows 2q + q*tsh ->
+    3q + 2q*tsh; the caller only enables this when chunks_mid is
+    unchanged at that bound, so the kernel output is bit-identical).
+    The round-5 on-chip ablation showed the kernel is a serial
+    VPU+MXU machine (no co-issue), so every canonicalization
+    compare/select removed is wall-clock won."""
     axA = 0 if sides[0] == "left" else 1
     dcat = _data_digits(lo, hi, chunks_d, axA)
     diags = _sliced_dots(dcat, tA, chunks_t, sides[0])
     vh, vl = _fold_redc28(diags, qh, ql, qi28,
-                          diag_bound=chunks_d * k * 127 * 127, bits=bits)
+                          diag_bound=chunks_d * k * 127 * 127, bits=bits,
+                          canonical=not lazy_a)
     if ctw or kara_b is not None:
         uh, ul = _montmul48(vh, vl, twh, twl, qh, ql, qih, qi32)
     else:
@@ -1400,33 +1410,43 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
                        sc_ref, olo_ref, ohi_ref,
                        *, chunks_d: int, chunks_t: int, chunks_mid: int,
                        sides: Tuple[str, str], k: int, bits: int, bb: int,
-                       ctw: bool = False, kara_b=None):
+                       ctw: bool = False, kara_b=None, lazy_a: bool = False):
     """Both four-step stages + the inter-stage twiddle on one [n1, n2] tile
     (`bb` of them per grid cell), sliced-table fold design (see module
     comment above).
 
     MFHE_SLICED_ILV=1 (with bb >= 2) software-pipelines the unrolled tiles:
     tile j's stage-A MXU dots are issued before tile j-1's VPU tail, giving
-    Mosaic's scheduler independent MXU and VPU work to co-issue."""
+    Mosaic's scheduler independent MXU and VPU work to co-issue.  ILV
+    composes with ctw (round 5): with the VPU tail hidden under the MXU
+    stream, the canonical twiddle's extra ~8 VPU ops are free and its
+    5-digit stage-B extraction cuts the binding MXU time by chunks_mid/
+    chunks_d — the schedule the round-3 roof analysis projects fastest."""
     import os as _os
     _abl = _os.environ.get("MFHE_SLICED_ABLATE", "")
     _ilv = _os.environ.get("MFHE_SLICED_ILV", "") == "1" and bb > 1
-    if (ctw or kara_b is not None) and (_ilv or _abl):
-        raise ValueError("MFHE_SLICED_CTW/KARA_B is incompatible with the "
-                         "ILV/ablation experiment paths (they assume the "
-                         "lazy 2^32-form twiddle tables)")
+    if (ctw and _abl) or (kara_b is not None and (_ilv or _abl)):
+        raise ValueError("MFHE_SLICED_KARA_B is incompatible with the "
+                         "ILV/ablation experiment paths, and the ablation "
+                         "rows assume the lazy 2^32-form twiddle tables")
     ql, qh = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
     qi32, qi28 = sc_ref[0, 0, 2], sc_ref[0, 0, 3]
     if _ilv:
+        qih_i = sc_ref[0, 0, 4]
         axA = 0 if sides[0] == "left" else 1
         axB = 0 if sides[1] == "left" else 1
 
         def _tail(j, diags):
             vh, vl = _fold_redc28(
                 diags, qh, ql, qi28,
-                diag_bound=chunks_d * k * 127 * 127, bits=bits)
-            uh, ul = _tw_mul_lazy(vh, vl, twl_ref[0, 0], twh_ref[0, 0],
-                                  qh, ql, qi32)
+                diag_bound=chunks_d * k * 127 * 127, bits=bits,
+                canonical=not lazy_a)
+            if ctw:
+                uh, ul = _montmul48(vh, vl, twh_ref[0, 0], twl_ref[0, 0],
+                                    qh, ql, qih_i, qi32)
+            else:
+                uh, ul = _tw_mul_lazy(vh, vl, twl_ref[0, 0], twh_ref[0, 0],
+                                      qh, ql, qi32)
             ucat = _data_digits(ul, uh, chunks_mid, axB)
             diags2 = _sliced_dots(ucat, lambda c: tB_ref[0, c], chunks_t,
                                   sides[1])
@@ -1459,7 +1479,8 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
                 lo, hi, lambda c: tA_ref[0, c], lambda c: tB_ref[0, c],
                 twl_ref[0, 0], twh_ref[0, 0], ql, qh, qi32, qi28,
                 chunks_d=chunks_d, chunks_t=chunks_t, chunks_mid=chunks_mid,
-                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw, kara_b=kara_b)
+                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw, kara_b=kara_b,
+                lazy_a=lazy_a)
             olo_ref[0, j] = rl
             ohi_ref[0, j] = rh
             continue
@@ -1478,7 +1499,8 @@ def _sliced_ntt_kernel(dlo_ref, dhi_ref, tA_ref, tB_ref, twl_ref, twh_ref,
             ohi_ref[0, j] = acc
             continue
         vh, vl = _fold_redc28(diags, qh, ql, qi28,
-                              diag_bound=chunks_d * k * 127 * 127, bits=bits)
+                              diag_bound=chunks_d * k * 127 * 127, bits=bits,
+                              canonical=not lazy_a)
         if _abl == "stage1":
             olo_ref[0, j] = vl
             ohi_ref[0, j] = vh
@@ -1504,7 +1526,7 @@ def _sliced_dma_kernel(dlo_hbm, dhi_hbm, tA_ref, tB_ref, twl_ref, twh_ref,
                        sc_ref, olo_hbm, ohi_hbm,
                        *, chunks_d: int, chunks_t: int, chunks_mid: int,
                        sides: Tuple[str, str], k: int, bits: int, B: int,
-                       ctw: bool = False, kara_b=None):
+                       ctw: bool = False, kara_b=None, lazy_a: bool = False):
     """Explicit-DMA double-buffered variant of _sliced_ntt_kernel
     (MFHE_SLICED_DMA=1): grid is (L,) only; the B axis streams through a
     2-slot VMEM scratch ring with hand-issued async copies, so tile b+1's
@@ -1559,7 +1581,8 @@ def _sliced_dma_kernel(dlo_hbm, dhi_hbm, tA_ref, tB_ref, twl_ref, twh_ref,
                 ilo[s], ihi[s], lambda c: tA_ref[0, c], lambda c: tB_ref[0, c],
                 twl_ref[0, 0], twh_ref[0, 0], ql, qh, qi32, qi28,
                 chunks_d=chunks_d, chunks_t=chunks_t, chunks_mid=chunks_mid,
-                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw, kara_b=kara_b)
+                sides=sides, k=k, bits=bits, qih=qih, ctw=ctw, kara_b=kara_b,
+                lazy_a=lazy_a)
             slo[s] = rl
             shi[s] = rh
             out_lo(b, s).start()
@@ -2023,11 +2046,23 @@ class SlicedFourStepNTT:
         if self.ctw:
             # canonical twiddle: stage B sees a < q value, chunks_d digits
             self.chunks_mid = self.chunks_d
+            self.lazy_a = False
             tw_pow = 64
         else:
-            # lazy twiddle bound: 2q + q*2^(bits-32) -> bits+max(2,bits-31)
-            lazy_bits = bits + max(2, bits - 31)
-            self.chunks_mid = -(-lazy_bits // CHUNK_BITS)
+            # lazy twiddle output bound (see _tw_mul_lazy): with canonical
+            # stage-A input v < q it is < 2q + q*tsh_max; with the lazy
+            # stage-A fold (round 5: skip the fold's canonicalization,
+            # v < 2q) it is < 3q + 2q*tsh_max.  Enable lazy-A only when it
+            # does not cost a stage-B digit, so output bits are identical
+            # and the variant is pure VPU savings.
+            qm = max(int(q) for q in mods)
+            tsh_max = (qm - 1) >> 32      # high word of tw*2^32 mod q
+            cm_canon = -(-(2 * qm + qm * tsh_max).bit_length() // CHUNK_BITS)
+            cm_lazy = -(-(3 * qm + 2 * qm * tsh_max).bit_length()
+                        // CHUNK_BITS)
+            self.lazy_a = (os.environ.get("MFHE_SLICED_LAZYA", "1") == "1"
+                           and cm_lazy == cm_canon)
+            self.chunks_mid = cm_lazy if self.lazy_a else cm_canon
             tw_pow = 32
         t1f, t2f, t1i, t2i, twf, twi = _four_step_tables(plan)
         self._t1f = jnp.asarray(_slice_tables(t1f, mods, self.chunks_d))
@@ -2082,7 +2117,7 @@ class SlicedFourStepNTT:
             kern = functools.partial(
                 _sliced_dma_kernel, chunks_d=cA, chunks_t=self.chunks_t,
                 chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits,
-                B=B, ctw=self.ctw, kara_b=self._kb)
+                B=B, ctw=self.ctw, kara_b=self._kb, lazy_a=self.lazy_a)
             hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
             return pl.pallas_call(
                 kern,
@@ -2109,7 +2144,7 @@ class SlicedFourStepNTT:
         kern = functools.partial(
             _sliced_ntt_kernel, chunks_d=cA, chunks_t=self.chunks_t,
             chunks_mid=self.chunks_mid, sides=sides, k=n1, bits=bits, bb=bb,
-            ctw=self.ctw, kara_b=self._kb)
+            ctw=self.ctw, kara_b=self._kb, lazy_a=self.lazy_a)
         data_spec = pl.BlockSpec((1, bb, n1, n2), lambda l, b: (l, b, 0, 0),
                                  memory_space=pltpu.VMEM)
         tA_spec = pl.BlockSpec((1, self.chunks_t, n1, cA * n1),

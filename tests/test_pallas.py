@@ -272,6 +272,56 @@ def test_sliced_stage_wide_55bit_bit_exact(rng):
         np.testing.assert_array_equal(got_fb, want)
 
 
+def test_sliced_lazy_a_default_and_bit_exact(setup, rng, monkeypatch):
+    """Round 5: the lazy stage-A fold (skip the fold's canonicalization and
+    let the lazy twiddle absorb the < 2q input) must be ON by default at
+    the production widths — it is only legal when chunks_mid is unchanged,
+    which __init__ verifies from the exact modulus bound — and bit-exact
+    vs the canonical-A kernel both directions."""
+    plan, _, _ = setup
+    lazy = pn.SlicedFourStepNTT(plan)
+    assert lazy.lazy_a, "lazy-A should enable itself at 35-bit moduli"
+    monkeypatch.setenv("MFHE_SLICED_LAZYA", "0")
+    base = pn.SlicedFourStepNTT(plan)
+    assert not base.lazy_a and base.chunks_mid == lazy.chunks_mid
+    x = np.stack([rng.integers(0, q, size=(2, plan.n), dtype=np.uint64)
+                  for q in plan.moduli])
+    xj = jnp.asarray(x)
+    want = base.forward(xj)
+    np.testing.assert_array_equal(np.asarray(want),
+                                  np.asarray(lazy.forward(xj)))
+    np.testing.assert_array_equal(np.asarray(base.inverse(want)),
+                                  np.asarray(lazy.inverse(want)))
+    np.testing.assert_array_equal(np.asarray(lazy.inverse(want)), x)
+    # composes with ILV (the software-pipelined unroll reads the same flag)
+    monkeypatch.setenv("MFHE_SLICED_LAZYA", "1")
+    monkeypatch.setenv("MFHE_SLICED_ILV", "1")
+    monkeypatch.setenv("MFHE_SLICED_BB", "2")
+    ilv = pn.SlicedFourStepNTT(plan)
+    np.testing.assert_array_equal(np.asarray(want),
+                                  np.asarray(ilv.forward(xj)))
+
+
+def test_sliced_ilv_ctw_composes_bit_exact(setup, rng, monkeypatch):
+    """Round 5: ILV + ctw (canonical twiddle under the software-pipelined
+    unroll) is now a legal combination — bit-exact vs the base kernel."""
+    plan, _, _ = setup
+    base = pn.SlicedFourStepNTT(plan)
+    monkeypatch.setenv("MFHE_SLICED_CTW", "1")
+    monkeypatch.setenv("MFHE_SLICED_ILV", "1")
+    monkeypatch.setenv("MFHE_SLICED_BB", "2")
+    both = pn.SlicedFourStepNTT(plan)
+    assert both.ctw and not both.lazy_a
+    x = np.stack([rng.integers(0, q, size=(2, plan.n), dtype=np.uint64)
+                  for q in plan.moduli])
+    xj = jnp.asarray(x)
+    want = base.forward(xj)
+    np.testing.assert_array_equal(np.asarray(want),
+                                  np.asarray(both.forward(xj)))
+    np.testing.assert_array_equal(np.asarray(base.inverse(want)),
+                                  np.asarray(both.inverse(want)))
+
+
 def test_sliced_kara_b_variant_bit_exact(setup, rng, monkeypatch):
     """MFHE_SLICED_KARA_B=1 (the "mixed" schedule from the round-3 roof
     analysis: sliced stage A + canonical Montgomery twiddle + Karatsuba
