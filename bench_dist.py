@@ -293,6 +293,26 @@ def cost_model_inputs(plan, d: int, hosts: int = 2,
     t_comp_host = t_poly / hosts
     eff_serial = t_comp_dev / (t_comp_dev + t_comm)
     eff_pipelined = t_comp_dev / max(t_comp_dev, t_comm)
+
+    # Sensitivity: efficiency vs DCN bandwidth (ICI held at its assumption),
+    # plus the analytic crossover bandwidth where coeff-sharding clears 85%
+    # (VERDICT r4 Next #7).  Pipelined >=85% needs t_dcn <= t_comp_dev/0.85
+    # (and t_ici under the same bound); serial needs t_comm <= t_comp_dev*(1/0.85-1).
+    def _eff_at(dcn_gbps: float) -> tuple[float, float]:
+        tc = max(t_ici, bytes_dcn_oneway / (dcn_gbps * 1e9) / (hosts / 2))
+        return (t_comp_dev / (t_comp_dev + tc),
+                t_comp_dev / max(t_comp_dev, tc))
+
+    sensitivity = [
+        {"dcn_gbps": g,
+         "eff_serial": round(_eff_at(g)[0], 3),
+         "eff_pipelined": round(_eff_at(g)[1], 3)}
+        for g in (5, 10, 25, 50, 100, 200, 400)]
+    dcn_rate = bytes_dcn_oneway / (hosts / 2)         # bytes/s numerator
+    xover_pipe = dcn_rate / (t_comp_dev / 0.85) / 1e9
+    xover_serial = dcn_rate / (t_comp_dev * (1 / 0.85 - 1)) / 1e9
+    ici_ok_85 = t_ici <= t_comp_dev / 0.85
+
     return {
         "config": {"N": N, "n1": plan.n1, "n2": plan.n2, "devices": d,
                    "hosts": hosts},
@@ -312,6 +332,14 @@ def cost_model_inputs(plan, d: int, hosts: int = 2,
         "projected_efficiency_no_overlap": round(eff_serial, 3),
         "projected_efficiency_limb_pipelined": round(eff_pipelined, 3),
         "comm_bound": t_comm > t_comp_dev,
+        "dcn_sensitivity": sensitivity,
+        "dcn_crossover_gbps_85pct_pipelined": (
+            round(xover_pipe, 1) if ici_ok_85 else None),
+        "dcn_crossover_gbps_85pct_serial": round(xover_serial, 1),
+        "crossover_note": ("min per-host DCN bandwidth at which the coeff-"
+                           "sharded form clears 85% 2-host efficiency; "
+                           "pipelined crossover is None when the ICI "
+                           "assumption alone already caps below 85%"),
         "note": ("limb/batch sharding is zero-comm (100% efficiency) "
                  "whenever independent work B*L >= devices — the "
                  "throughput config; coeff-sharding is the single-"

@@ -143,6 +143,18 @@ def test_cost_model_inputs():
     # anchor fallback is flagged
     m2 = bd.cost_model_inputs(Plan, 8)
     assert m2["anchor_is_measured"] is False
+    # sensitivity curve is monotone in DCN bandwidth and the analytic
+    # 85% crossover is consistent with it (VERDICT r4 Next #7)
+    sens = m["dcn_sensitivity"]
+    effs = [r["eff_pipelined"] for r in sens]
+    assert effs == sorted(effs) and len(sens) >= 5
+    xo = m["dcn_crossover_gbps_85pct_pipelined"]
+    if xo is not None:
+        for r in sens:
+            if r["dcn_gbps"] >= xo * 1.05:
+                assert r["eff_pipelined"] >= 0.85
+            elif r["dcn_gbps"] <= xo * 0.95:
+                assert r["eff_pipelined"] <= 0.86
 
 
 def test_recorded_ntt16_rate_reads_bench_records():
