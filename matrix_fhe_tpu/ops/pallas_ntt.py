@@ -522,6 +522,29 @@ def _ntt_mul_ntt_kernel(dlo_ref, dhi_ref, slo_ref, shi_ref, tf_ref, ti_ref,
     ohi_ref[0] = rh
 
 
+def _mul_ntt_tile(rows: int, rep: int, row_tile: int) -> int:
+    """Row tile for the fused mul-NTT kernels.
+
+    Mosaic requires a block's second-to-last dim to be divisible by 8 or
+    equal the full array dim; the s operand's block is tile//rep rows, so
+    the tile must keep tw = tile//rep a multiple of 8 (or span all of s).
+    The ring="gl" geometry (rep=32, row_tile 256 -> tw=8) met this by
+    accident; ring="gl2" (rep=64 -> tw=4) did not and failed to lower on
+    real TPU (round-5 on-chip runbook, examples/matmul_gl2.py mid)."""
+    s_rows = rows // rep
+    best = None
+    for tw in range(8, s_rows + 1, 8):
+        t = tw * rep
+        if rows % t == 0 and t <= row_tile:
+            best = t
+    if best is None:
+        for tw in range(8, s_rows, 8):
+            if rows % (tw * rep) == 0:
+                best = tw * rep          # smallest compliant tile > row_tile
+                break
+    return best if best is not None else rows  # tw == s_rows: full blocks
+
+
 class PallasNttMulNtt:
     """Fused t = iNTT_X(NTT_X(a) * s) over [L, R, K] row-major data (K the
     X axis, possibly lane-packed by the caller); s [L, W, K] with
@@ -576,9 +599,7 @@ class PallasNttMulNtt:
         rows = d_lo.shape[1]
         if rows % self.rep:
             raise ValueError(f"rows {rows} not a multiple of rep {self.rep}")
-        tile = min(self.row_tile, rows)
-        while rows % tile or tile % self.rep:
-            tile -= self.rep
+        tile = _mul_ntt_tile(rows, self.rep, self.row_tile)
         call = self._call(rows, tile)
         with jax.enable_x64(False):
             return call(d_lo, d_hi, s_lo, s_hi, self._tf, self._ti, self._sc)
@@ -1962,9 +1983,7 @@ class SlicedNttMulNtt:
         rows = d_lo.shape[1]
         if rows % self.rep:
             raise ValueError(f"rows {rows} not a multiple of rep {self.rep}")
-        tile = min(self.row_tile, rows)
-        while rows % tile or tile % self.rep:
-            tile -= self.rep
+        tile = _mul_ntt_tile(rows, self.rep, self.row_tile)
         call = self._call(rows, tile)
         with jax.enable_x64(False):
             return call(d_lo, d_hi, s_lo, s_hi, self._tf, self._ti, self._sc)

@@ -141,6 +141,13 @@ def main():
           lambda a, b, k: gr.relinearize_fn(hm.tensor_fn(a, b), k),
           ct2, ct2, ks)
 
+    # --- gl2 decrypt mul_s (the rep=64 fused kernel the GEMM demo drives
+    # for encrypt/decrypt; its tile selection failed Mosaic's sublane rule
+    # on chip in round 5 — coverage the gemm+relin checks don't give) -----
+    check("gl2 tiny decrypt mul_s",
+          lambda ct, s: gctx.xntt.mul_s(ct, s),
+          sd((Lg, Wg, m, m), u64), sd((Lg, Wg, m), u64))
+
     if full:
         # --- gl2 GEMM+relin at MID (runbook step 5c geometry) -------------
         pm = get_params("mid")
@@ -158,6 +165,11 @@ def main():
               f"Lqp={len(grm.rc.qp_moduli)})",
               lambda a, b, k: grm.relinearize_fn(hmm.tensor_fn(a, b), k),
               ct2m, ct2m, ksm)
+        # the rep=64 fused mul_s at the REAL mid geometry (n=64, K=2n=128)
+        # — the kernel that failed on chip in round 5
+        check("gl2 MID decrypt mul_s (rep=64)",
+              lambda ct, s: g2m.xntt.mul_s(ct, s),
+              sd((Lm, Wm, mm_dim, mm_dim), u64), sd((Lm, Wm, mm_dim), u64))
 
         # --- gl2 GEMM+relin at REF with the auto P (runbook step 5c2:
         # the pinned parity P would give dnum=4 / ~27 GB keys; the

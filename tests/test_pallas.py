@@ -404,3 +404,48 @@ def test_karatsuba4_scheme_28bit(rng, monkeypatch):
     got = np.asarray(pn.join_u64(*st(*pn.split_u64(jnp.asarray(d)))))
     want = (d[0].astype(object) @ T[0].astype(object).T % q).astype(np.uint64)
     np.testing.assert_array_equal(got[0], want)
+
+
+def test_mul_ntt_tile_mosaic_sublane_rule():
+    """_mul_ntt_tile: the s block's sublane dim (tile//rep) must be a
+    multiple of 8 or span all s rows — Mosaic rejects anything else on
+    real TPU (round-5 runbook failure at the gl2 geometry, where the
+    default 256-row tile gave tw=4)."""
+    cases = [
+        (16384, 32, 256),    # ring="gl" he.py geometry (tw=8, unchanged)
+        (32768, 64, 256),    # ring="gl2" he2.py geometry (failed on chip)
+        (32768, 64, 128),    # the row_tile that produced tw=2 on chip
+        (1024, 64, 256),     # small W=16
+        (256, 64, 256),      # W=4 < 8: full-array blocks are the only fit
+        (2048, 2, 256),      # small rep
+    ]
+    for rows, rep, row_tile in cases:
+        tile = pn._mul_ntt_tile(rows, rep, row_tile)
+        tw = tile // rep
+        s_rows = rows // rep
+        assert rows % tile == 0 and tile % rep == 0, (rows, rep, tile)
+        assert tw % 8 == 0 or tw == s_rows, (rows, rep, row_tile, tile)
+    # the gl geometry keeps its exact previous tile (no perf regression)
+    assert pn._mul_ntt_tile(16384, 32, 256) == 256
+
+
+def test_fused_mul_s_gl2_geometry_matches(rng):
+    """Fused mul_s at the ring=\"gl2\" rep=64 geometry (the shape that
+    failed Mosaic lowering on chip) == unfused composition, bit-exact."""
+    from matrix_fhe_tpu.config import get_params
+    from matrix_fhe_tpu.ops.ntt import XNTT
+
+    p = get_params("tiny")
+    xp = XNTT(p, ring="gl2", use_pallas=True)
+    xr = XNTT(p, ring="gl2", use_pallas=False)
+    L, W, n = len(p.moduli), p.phi, p.n
+    m = 2 * n
+    a = jnp.asarray(np.stack(
+        [rng.integers(0, q, size=(W, m, m), dtype=np.uint64)
+         for q in p.moduli]))
+    s = jnp.asarray(np.stack(
+        [rng.integers(0, q, size=(W, m), dtype=np.uint64)
+         for q in p.moduli]))
+    got = np.asarray(xp.mul_s(a, s))
+    want = np.asarray(xr.mul_s(a, s))
+    assert (got == want).all()
