@@ -327,48 +327,106 @@ class Gl2GemmRelin:
 
     # -- key generation ------------------------------------------------------
 
-    @functools.cached_property
-    def _gen_key_digit_jit(self):
-        """One (target, digit) switch-key pair, fully jitted.
+    # -- limb chunking (round 5) ---------------------------------------------
+    #
+    # At ref scale with the dnum=1 auto-P basis, ONE [Lqp, W, m, m] u64
+    # plane is 1.7 GB and the keys alone are 6.8 GB: the round-4 per-digit
+    # jit (whose working set is ~6 such planes) exhausted a 16 GB chip's
+    # HBM in gen_keys (round-5 runbook step 5c2).  Every per-limb stage of
+    # the pipeline — W-CRT, 2D X-NTT, key products, the dst side of basis
+    # extension — is independent across limbs, so both keygen and
+    # relinearization stream QP limb chunks through chunk-sized transform
+    # contexts, bounding peak HBM at keys + O(chunk) temporaries.
 
-        The [Lqp, W, m, m] grid planes (0.5 GB at mid, 1.7 GB at ref/auto-P
-        — per array) live only INSIDE the program, where XLA schedules and
-        reuses their buffers; the round-4 on-chip run showed the previous
-        eager form holding ~9 such temporaries live in Python and
-        exhausting HBM at mid scale."""
+    def _chunk_ctx(self, lo: int, hi: int):
+        """(params, xntt, wt, mont-consts) over qp_moduli[lo:hi]."""
         rc = self.rc
+        if (lo, hi) == (0, len(rc.qp_moduli)):
+            return rc.ext_params, rc.xntt_qp, rc.wt_qp, rc._cqp
+        cache = self.__dict__.setdefault("_chunk_ctx_cache", {})
+        if (lo, hi) not in cache:
+            import dataclasses
+
+            from ..ops.ntt import XNTT
+            from ..ops.wcrt import WTransform
+            from ..tables import build_tables
+            sub = dataclasses.replace(
+                rc.ext_params, name=f"{rc.ext_params.name}-c{lo}.{hi}",
+                moduli=rc.qp_moduli[lo:hi])
+            t = build_tables(sub)
+            cache[(lo, hi)] = (sub, XNTT(sub, ring=self.ctx.ring, tables=t),
+                               WTransform(sub, t),
+                               mm.mont_consts_arrays(sub.moduli,
+                                                     shape_suffix=(1, 1, 1)))
+        return cache[(lo, hi)]
+
+    def _qp_chunks(self):
+        """Limb-chunk bounds over QP, aligned to the Q|P boundary.
+
+        MFHE_GEMM2_CHUNK pins the limbs-per-chunk (0 = auto: one chunk
+        when the full QP accumulator is < 1 GB, else ~512 MB chunks)."""
+        import os
+        rc = self.rc
+        Lqp = len(rc.qp_moduli)
+        per_limb = rc.ext_params.phi * self.hm.m * self.hm.m * 8
+        target = int(os.environ.get("MFHE_GEMM2_CHUNK", "0"))
+        if target <= 0:
+            if Lqp * per_limb <= (1 << 30):
+                return [(0, Lqp)]
+            target = max(1, (1 << 29) // per_limb)
+        bounds = []
+        for seg_lo, seg_hi in ((0, rc.L), (rc.L, Lqp)):
+            lo = seg_lo
+            while lo < seg_hi:
+                bounds.append((lo, min(lo + target, seg_hi)))
+                lo += target
+        return bounds
+
+    def _gen_key_chunk_jit(self, which: int, lo: int, hi: int):
+        """One (target, digit) switch-key pair restricted to QP limbs
+        lo:hi, fully jitted.  The uniform component is sampled DIRECTLY in
+        the (W-eval, 2D X-NTT) domain — the transform is a per-limb
+        bijection, so uniform-in-eval == uniform-in-coeff and the 2D NTT
+        of a [Lqp, W, m, m] plane disappears from keygen entirely.  Limb
+        l's stream is keyed fold_in(ka, l), making the key material
+        independent of the chunking."""
+        cache = self.__dict__.setdefault("_gen_key_jit_cache", {})
+        if (which, lo, hi) in cache:
+            return cache[(which, lo, hi)]
+        sub, xntt, wt, cc = self._chunk_ctx(lo, hi)
         from . import rng as refrng
 
-        @functools.partial(jax.jit, static_argnames=("which",))
-        def step(ka, ke, s_hat, ss_hat, g_const, *, which: int):
-            cqp = rc._cqp
-            q, qi, r2 = cqp["q"], cqp["qinv_neg"], cqp["r2"]
-            W, m = s_hat.shape[1], s_hat.shape[2]
-            Lqp = s_hat.shape[0]
+        def step(ka, ke, s_hat_c, ss_hat_c, g_c):
+            q, qi, r2 = cc["q"], cc["qinv_neg"], cc["r2"]
+            Lc, W, m = s_hat_c.shape
             frame = (W, m, m)
-            a = refrng.fresh_uniform_a(ka, rc.ext_params, shape=frame)
-            e = refrng.fresh_gaussian_noise(ke, rc.ext_params, shape=frame)
-            a_hat = self._ntt2d(a, rc.xntt_qp)
-            e_hat = self._ntt2d(rc.wt_qp.forward(e), rc.xntt_qp)
-            a_mont = mm.to_mont(a_hat, q, qi, r2)
-            a_s = mm.mont_mul(a_mont, s_hat[:, :, None, :], q, qi)
-            g_mont = mm.to_mont(g_const.reshape(-1, 1, 1, 1), q, qi, r2)
+            bits = jax.vmap(lambda l: jax.random.bits(
+                jax.random.fold_in(ka, l), frame, dtype=jnp.uint64))(
+                    jnp.arange(lo, hi))
+            a_mont = mm.to_mont(bits % q, q, qi, r2)
+            a_s = mm.mont_mul(a_mont, s_hat_c[:, :, None, :], q, qi)
+            # gaussian noise is limb-consistent (same z every limb), so the
+            # same ke reproduces it identically in every chunk
+            e = refrng.fresh_gaussian_noise(ke, sub, shape=frame)
+            e_hat = self._ntt2d(wt.forward(e), xntt)
+            g_mont = mm.to_mont(g_c.reshape(-1, 1, 1, 1), q, qi, r2)
             if which == 1:
                 # g * (sigma(s) (x) 1): broadcast along x2 stays fused
-                gt = mm.mont_mul(g_mont, ss_hat[:, :, :, None], q, qi)
+                gt = mm.mont_mul(g_mont, ss_hat_c[:, :, :, None], q, qi)
             else:
                 # g * (sigma(s) (x) s)
-                ss_mont = mm.to_mont(ss_hat, q[..., 0], qi[..., 0],
+                ss_mont = mm.to_mont(ss_hat_c, q[..., 0], qi[..., 0],
                                      r2[..., 0])
                 t2 = mm.mont_mul(ss_mont[:, :, :, None],
-                                 jnp.broadcast_to(s_hat[:, :, None, :],
-                                                  (Lqp, W, m, m)),
+                                 jnp.broadcast_to(s_hat_c[:, :, None, :],
+                                                  (Lc, W, m, m)),
                                  q, qi)
                 gt = mm.mont_mul(g_mont, t2, q, qi)
             b = mm.add_mod(mm.sub_mod(e_hat, a_s, q), gt, q)
             return mm.to_mont(b, q, qi, r2), a_mont
 
-        return step
+        cache[(which, lo, hi)] = jax.jit(step)
+        return cache[(which, lo, hi)]
 
     def gen_keys(self, sk: SecretKey2, key: jax.Array) -> GemmRelinKey:
         rc = self.rc
@@ -377,18 +435,25 @@ class Gl2GemmRelin:
                                              self.ctx.params.moduli)
         s_hat = rc._lift_ternary(s_res)                     # [Lqp, W, 2n]
         ss_hat = jnp.take(s_hat, self.hm._flip, axis=1)[:, :, ::-1]
+        chunks = self._qp_chunks()
         outs = {"b1": [], "a1": [], "b2": [], "a2": []}
         for which, bk, ak in ((1, "b1", "a1"), (2, "b2", "a2")):
             for i in range(rc.dnum):
                 key, ka, ke = jax.random.split(key, 3)
                 g = jnp.asarray(rc._g_consts[i])
-                b, a = self._gen_key_digit_jit(ka, ke, s_hat, ss_hat, g,
-                                               which=which)
-                # fence each digit so at most one program's working set is
-                # in flight on top of the accumulated keys
-                jax.block_until_ready(a)
-                outs[bk].append(b)
-                outs[ak].append(a)
+                bs, as_ = [], []
+                for lo, hi in chunks:
+                    b, a = self._gen_key_chunk_jit(which, lo, hi)(
+                        ka, ke, s_hat[lo:hi], ss_hat[lo:hi], g[lo:hi])
+                    # fence each chunk so at most one program's working set
+                    # is in flight on top of the accumulated keys
+                    jax.block_until_ready(a)
+                    bs.append(b)
+                    as_.append(a)
+                outs[bk].append(bs[0] if len(bs) == 1
+                                else jnp.concatenate(bs))
+                outs[ak].append(as_[0] if len(as_) == 1
+                                else jnp.concatenate(as_))
         return GemmRelinKey(b1=tuple(outs["b1"]), a1=tuple(outs["a1"]),
                             b2=tuple(outs["b2"]), a2=tuple(outs["a2"]))
 
@@ -430,7 +495,130 @@ class Gl2GemmRelin:
     def _relin_jit(self):
         return jax.jit(self.relinearize_fn)
 
+    # -- streamed single-chip variant ----------------------------------------
+
+    def _relin_chunk_jit(self, lo: int, hi: int):
+        """All dnum digits' products for QP limbs lo:hi: (rp_i, k_i) from
+        the shared scaled_residues -> extend chunk -> QP transforms ->
+        key products -> accumulate -> back to (W-coeff, X-coeff).  Returns
+        the chunk rows of the two coefficient-domain accumulators."""
+        cache = self.__dict__.setdefault("_relin_chunk_cache", {})
+        if (lo, hi) in cache:
+            return cache[(lo, hi)]
+        rc = self.rc
+        _, xntt, wt, cc = self._chunk_ctx(lo, hi)
+
+        def body(rps, ks_, b_keys, a_keys):
+            q, qi = cc["q"], cc["qinv_neg"]
+            u0 = u1 = None
+            for i in range(rc.dnum):
+                digit = rc._extenders[i].extend_from(rps[i], ks_[i],
+                                                     dst_slice=(lo, hi))
+                hat = self._ntt2d(wt.forward(digit), xntt)
+                tb = mm.mont_mul(hat, b_keys[i], q, qi)
+                ta = mm.mont_mul(hat, a_keys[i], q, qi)
+                u0 = tb if u0 is None else mm.add_mod(u0, tb, q)
+                u1 = ta if u1 is None else mm.add_mod(u1, ta, q)
+            return (wt.inverse(self._intt2d(u0, xntt)),
+                    wt.inverse(self._intt2d(u1, xntt)))
+
+        cache[(lo, hi)] = jax.jit(body)
+        return cache[(lo, hi)]
+
+    @functools.cached_property
+    def _relin_pre_jit(self):
+        """wt-inverse of one tensor component + the per-digit src-side
+        scaled residues (shared by every chunk).  Donates the component:
+        the streamed path consumes the tensor."""
+        rc = self.rc
+
+        def pre(e):
+            wc = self.ctx.wt.inverse(e)
+            rps, ks_ = [], []
+            for i, g in enumerate(rc.groups):
+                rp, k = rc._extenders[i].scaled_residues(
+                    wc[jnp.asarray(list(g))])
+                rps.append(rp)
+                ks_.append(k)
+            return rps, ks_
+
+        return jax.jit(pre, donate_argnums=(0,))
+
+    @functools.cached_property
+    def _relin_down_jit(self):
+        """ModDown one QP coefficient-domain accumulator -> [L] W-eval
+        (donates the 1.7 GB accumulator)."""
+        rc, ctx = self.rc, self.ctx
+
+        def down(k):
+            return ctx.wt.forward(rc._mod_down(k))
+
+        return jax.jit(down, donate_argnums=(0,))
+
+    @functools.cached_property
+    def _relin_combine_jit(self):
+        rc = self.rc
+
+        def comb(e_const, u, v):
+            q = rc._cq["q"]
+            return self.hm.repack_fn(
+                mm.add_mod(e_const, mm.add_mod(u, v, q), q))
+
+        return jax.jit(comb)
+
+    @functools.cached_property
+    def _write_chunk_jit(self):
+        def w(full, part, lo):
+            return jax.lax.dynamic_update_slice_in_dim(full, part, lo,
+                                                       axis=0)
+        return jax.jit(w, donate_argnums=(0,))
+
+    def relinearize_streamed(self, tt: GemmTensor2, ks: GemmRelinKey
+                             ) -> Ciphertext2:
+        """relinearize_fn with the QP work streamed limb-chunk by
+        limb-chunk (same bits as the fused graph given the same tt/ks —
+        pinned by tests/test_he_matmul2.py).  Peak HBM = keys + two
+        [Lqp, ...] accumulators + ONE chunk's transients, instead of the
+        fused program's ~3x-keys working set that exhausted a 16 GB chip
+        at ref scale (round-5 runbook 5c2).  CONSUMES tt.e10/tt.e11
+        (donated into the src-side residues)."""
+        rc = self.rc
+        Lqp = len(rc.qp_moduli)
+        W = rc.ext_params.phi
+        shape = (Lqp, W, self.hm.m, self.hm.m)
+        chunks = self._qp_chunks()
+        outs = []
+        for e_hi, b_keys, a_keys in ((tt.e10, ks.b1, ks.a1),
+                                     (tt.e11, ks.b2, ks.a2)):
+            rps, ks_ = self._relin_pre_jit(e_hi)
+            k0 = jnp.zeros(shape, dtype=jnp.uint64)
+            k1 = jnp.zeros(shape, dtype=jnp.uint64)
+            for lo, hi in chunks:
+                c0, c1 = self._relin_chunk_jit(lo, hi)(
+                    rps, ks_, [b[lo:hi] for b in b_keys],
+                    [a[lo:hi] for a in a_keys])
+                k0 = self._write_chunk_jit(k0, c0, lo)
+                k1 = self._write_chunk_jit(k1, c1, lo)
+                # fence: bound in-flight chunk programs to one
+                jax.block_until_ready(k1)
+            outs.append(self._relin_down_jit(k0))
+            outs.append(self._relin_down_jit(k1))
+        u0, u1, v0, v1 = outs
+        return Ciphertext2(b=self._relin_combine_jit(tt.e00, u0, v0),
+                           a=self._relin_combine_jit(tt.e01, u1, v1))
+
+    def _use_streamed(self) -> bool:
+        import os
+        env = os.environ.get("MFHE_GEMM2_STREAM", "")
+        if env in ("0", "1"):
+            return env == "1"
+        rc = self.rc
+        per_limb = rc.ext_params.phi * self.hm.m * self.hm.m * 8
+        return len(rc.qp_moduli) * per_limb > (1 << 30)
+
     def relinearize(self, tt: GemmTensor2, ks: GemmRelinKey) -> Ciphertext2:
+        if self._use_streamed():
+            return self.relinearize_streamed(tt, ks)
         return self._relin_jit(tt, ks)
 
     # -- the headline op -----------------------------------------------------

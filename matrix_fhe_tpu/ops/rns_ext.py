@@ -83,7 +83,8 @@ class BasisExtender:
         k = jnp.round(jnp.sum(rp.astype(F64) * invq, axis=0))
         return rp, k.astype(jnp.uint32)
 
-    def extend(self, x: jnp.ndarray) -> jnp.ndarray:
+    def extend(self, x: jnp.ndarray,
+               dst_slice: Tuple[int, int] | None = None) -> jnp.ndarray:
         """[Ls, ...] -> [Ld, ...]: residues of the bounded representative.
 
         The source-limb accumulation is vectorized over Ls (one mont_mul +
@@ -91,22 +92,35 @@ class BasisExtender:
         mont_mul/add_mod ops): Ls * r < 2^63 for every basis here, so the
         plain sum cannot wrap.  ~Ls x fewer HLO ops per target limb — the
         keyswitch pipeline builds dnum * Ld of these (compile-time item,
-        VERDICT r2 #9)."""
+        VERDICT r2 #9).
+
+        dst_slice=(lo, hi) emits only target limbs lo:hi — the limb-chunked
+        key-switch streaming path (he_matmul2) extends one chunk at a time
+        to bound peak HBM; compose with extend_from to share the src-side
+        scaled residues across chunks."""
         rp, k = self.scaled_residues(x)
-        suf = (1,) * (x.ndim - 1)
+        return self.extend_from(rp, k, dst_slice)
+
+    def extend_from(self, rp: jnp.ndarray, k: jnp.ndarray,
+                    dst_slice: Tuple[int, int] | None = None) -> jnp.ndarray:
+        """Second half of extend(): (rp, k) from scaled_residues ->
+        dst-limb residues.  Splitting lets limb-chunked callers compute the
+        src-side work once and stream the dst chunks."""
+        lo, hi = (0, len(self.dst)) if dst_slice is None else dst_slice
+        suf = (1,) * (rp.ndim - 1)
         ku = k.astype(jnp.uint64)
         # broadcast over BOTH limb axes: [Ls, Ld, ...] elementwise + one
         # reduction; XLA fuses the chain so the [Ls, Ld, ...] intermediate
         # never materializes, and the HLO is Ld x smaller than the unrolled
         # per-target loop this replaces.
-        rd0 = jnp.asarray(self._rd.reshape((-1,) + suf))          # [Ld, ...]
-        qi0 = jnp.asarray(self._rd_qinv.reshape((-1,) + suf))
+        rd0 = jnp.asarray(self._rd[lo:hi].reshape((-1,) + suf))   # [Ld, ...]
+        qi0 = jnp.asarray(self._rd_qinv[lo:hi].reshape((-1,) + suf))
         # r'_l may exceed r: reduce first (r'_l < q_l < 2^48)
         t = rp[:, None] % rd0[None]                               # [Ls, Ld, ...]
-        m = jnp.asarray(self._m_mod_r_mont.reshape(
-            self._m_mod_r_mont.shape + suf))
+        m = jnp.asarray(self._m_mod_r_mont[:, lo:hi].reshape(
+            (self._m_mod_r_mont.shape[0], hi - lo) + suf))
         terms = mm.mont_mul(t, m, rd0[None], qi0[None])
         acc = jnp.sum(terms, axis=0) % rd0   # Ls terms < max(dst r) <= 2^55
         kq = mm.mont_mul(ku[None] % rd0, jnp.asarray(
-            self._qsrc_mod_r_mont.reshape((-1,) + suf)), rd0, qi0)
+            self._qsrc_mod_r_mont[lo:hi].reshape((-1,) + suf)), rd0, qi0)
         return mm.sub_mod(acc, kq, rd0)

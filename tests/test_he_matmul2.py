@@ -197,3 +197,34 @@ def test_sliced_gemm2x2_matches_xla_tensor(setup, monkeypatch):
     got = hm.tensor_fn(ctX, ctY)
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_relinearize_streamed_matches_fused(setup, relin, monkeypatch):
+    """The limb-chunked streamed relinearization (round 5: bounds peak HBM
+    for the ref-scale flagship, runbook 5c2) == the fused graph, bit-exact
+    on both components, forced to 1-limb chunks to exercise the chunk
+    transforms, the dst-sliced basis extension, and the accumulator
+    writes."""
+    p, ctx, hm, X, Y, C, _, _, sk, ctX, ctY = setup
+    gr, ks = relin
+    monkeypatch.setenv("MFHE_GEMM2_CHUNK", "1")
+    want = gr.relinearize_fn(hm.tensor_fn(ctX, ctY), ks)
+    # streamed consumes its tensor (donated) — build a fresh one
+    got = gr.relinearize_streamed(hm.tensor_fn(ctX, ctY), ks)
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+
+
+def test_gen_keys_chunk_invariant(setup, monkeypatch):
+    """Key material is independent of the limb chunking (per-limb
+    fold_in streams): 1-limb chunks == one full chunk, bit-exact."""
+    p, ctx, hm, *_ = setup
+    sk = setup[8]
+    gr = Gl2GemmRelin(hm)
+    monkeypatch.setenv("MFHE_GEMM2_CHUNK", str(len(gr.rc.qp_moduli)))
+    k_full = gr.gen_keys(sk, jax.random.key(9))
+    gr2 = Gl2GemmRelin(hm, gr.rc)
+    monkeypatch.setenv("MFHE_GEMM2_CHUNK", "1")
+    k_chunk = gr2.gen_keys(sk, jax.random.key(9))
+    for a, b in zip(jax.tree.leaves(k_full), jax.tree.leaves(k_chunk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
